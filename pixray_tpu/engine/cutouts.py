@@ -1,0 +1,191 @@
+"""Cutout/augmentation pipeline — the hot-path image sampler feeding the perceptors.
+
+Capability parity with MakeCutouts (/root/reference/pixray.py:400-511):
+
+- avg+max adaptive pooling of the canvas to the perceptor resolution;
+- aspect-ratio re-widening of the pooled square;
+- a 60% "zoom" branch (random perspective p=0.7 ∘ random resized crop) warped with
+  reflection/border padding alternating by iteration parity (pixray.py:1250-1253);
+- a 40% "wide" branch (fixed-scale random affine ∘ center crop ∘ padded random
+  perspective p=0.7) filled with a per-iteration random gray (pixray.py:1255-1258);
+- per-cutout hue/saturation jitter (p=0.8) on the live path only;
+- additive uniform-scaled gaussian noise (noise_fac=0.1);
+- transform reuse: spot cutouts and image-prompt cutouts are produced with the SAME
+  sampled geometry as the main cutouts of the step (the reference's transform cache,
+  pixray.py:480-491), so image prompts see identical warps.
+
+TPU-first design: every augmentation is a composed 3x3 matrix so each cutout is ONE
+bilinear gather from the pooled working canvas; the whole bank of N cutouts is a
+single vmapped gather that XLA fuses with the downstream perceptor normalization.
+All randomness is explicit `jax.random` key threading — the pipeline is a pure
+function, jit/vmap/shard_map-safe.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pixray_tpu.ops import warp as W
+from pixray_tpu.ops.color import random_color_jitter
+from pixray_tpu.ops.pool import adaptive_avg_pool, adaptive_max_pool
+
+NOISE_FAC = 0.1
+ZOOM_FRACTION = 0.6
+
+
+def work_canvas_shape(cut_size: int, aspect: float) -> tuple[int, int]:
+    """Shape of the pooled working canvas after aspect re-widening."""
+    if aspect == 1.0:
+        return (cut_size, cut_size)
+    if aspect > 1.0:
+        return (cut_size, int(round(cut_size * aspect)))
+    return (int(round(cut_size / aspect)), cut_size)
+
+
+def pool_to_work(image, cut_size: int, aspect: float):
+    """(H, W, C) canvas -> pooled + re-widened working canvas.
+
+    Reference pools per cutout with identical (deterministic) results
+    (pixray.py:461-463); pooling once is the same computation hoisted out.
+    """
+    pooled = 0.5 * (
+        adaptive_avg_pool(image, cut_size, cut_size)
+        + adaptive_max_pool(image, cut_size, cut_size)
+    )
+    wh, ww = work_canvas_shape(cut_size, aspect)
+    if (wh, ww) != (cut_size, cut_size):
+        pooled = jax.image.resize(pooled, (wh, ww, pooled.shape[-1]), method="bilinear")
+    return pooled
+
+
+def _wide_affine_params(aspect: float):
+    """Aspect-dependent affine for the wide branch (pixray.py:419-431)."""
+    if aspect == 1.0:
+        n_s = 0.95
+        n_t = (1 - n_s) / 2
+        return (n_t, n_t), (n_s, n_s)
+    if aspect > 1.0:
+        n_s = 1 / aspect
+        n_t = (1 - n_s) / 2
+        return (0.0, n_t), (0.9 * n_s, n_s)
+    n_s = aspect
+    n_t = (1 - n_s) / 2
+    return (n_t, 0.0), (0.9 * n_s, n_s)
+
+
+def split_counts(cutn: int) -> tuple[int, int]:
+    n_zoom = int(ZOOM_FRACTION * cutn)
+    return n_zoom, cutn - n_zoom
+
+
+def sample_cut_transforms(key, cut_size: int, cutn: int, aspect: float):
+    """Sample the per-step bank of composed cutout homographies.
+
+    Returns (n_zoom, 3, 3) and (n_wide, 3, 3) src→dst matrices over the working
+    canvas. These are shared by main/spot/image-prompt cutouts within a step.
+    """
+    wh, ww = work_canvas_shape(cut_size, aspect)
+    n_zoom, n_wide = split_counts(cutn)
+
+    def one_zoom(k):
+        k1, k2, kp = jax.random.split(k, 3)
+        m_persp = W.maybe(kp, 0.7, W.random_perspective(k1, wh, ww, 0.40))
+        m_crop = W.random_resized_crop(k2, wh, ww, cut_size, scale=(0.25, 0.95), ratio=(0.85, 1.2))
+        return m_crop @ m_persp
+
+    translate, scale_range = _wide_affine_params(aspect)
+
+    def one_wide(k):
+        k1, k2, kp = jax.random.split(k, 3)
+        m_aff = W.random_affine(k1, wh, ww, translate, scale_range)
+        m_center = W.center_crop_transform(wh, ww, cut_size)
+        m_persp = W.maybe(kp, 0.7, W.random_perspective(k2, cut_size, cut_size, 0.20))
+        return m_persp @ m_center @ m_aff
+
+    kz, kw = jax.random.split(key)
+    zoom_ms = jax.vmap(one_zoom)(jax.random.split(kz, n_zoom)) if n_zoom else jnp.zeros((0, 3, 3))
+    wide_ms = jax.vmap(one_wide)(jax.random.split(kw, n_wide)) if n_wide else jnp.zeros((0, 3, 3))
+    return zoom_ms, wide_ms
+
+
+def render_cutouts(
+    work,
+    transforms,
+    cut_size: int,
+    *,
+    reflect_padding,
+    fill_color,
+    noise_key,
+    jitter_key=None,
+):
+    """Produce the (N, S, S, 3) cutout batch from the pooled working canvas.
+
+    reflect_padding: traced bool — True → 'reflection', False → 'border' padding for
+    the zoom branch (iteration-parity alternation, pixray.py:1250-1253).
+    fill_color: traced scalar — random gray fill for the wide branch.
+    jitter_key: when given (live path), per-cutout hue/sat jitter is applied; the
+    cached path (spot/image-prompt cutouts) skips jitter, like the reference.
+    """
+    zoom_ms, wide_ms = transforms
+    out_hw = (cut_size, cut_size)
+
+    def warp_zoom(m):
+        reflected = W.warp_perspective(work, m, out_hw, padding_mode="reflection")
+        bordered = W.warp_perspective(work, m, out_hw, padding_mode="border")
+        return jnp.where(reflect_padding, reflected, bordered)
+
+    def warp_wide(m):
+        return W.warp_perspective(work, m, out_hw, padding_mode="fill", fill_value=fill_color)
+
+    parts = []
+    if zoom_ms.shape[0]:
+        parts.append(jax.vmap(warp_zoom)(zoom_ms))
+    if wide_ms.shape[0]:
+        parts.append(jax.vmap(warp_wide)(wide_ms))
+    batch = jnp.concatenate(parts, axis=0)
+
+    if jitter_key is not None:
+        keys = jax.random.split(jitter_key, batch.shape[0])
+        batch = jax.vmap(partial(random_color_jitter, hue=0.1, saturation=0.1, p=0.8))(
+            keys, batch
+        )
+
+    if NOISE_FAC:
+        k_fac, k_noise = jax.random.split(noise_key)
+        facs = jax.random.uniform(
+            k_fac, (batch.shape[0], 1, 1, 1), maxval=NOISE_FAC, dtype=batch.dtype
+        )
+        batch = batch + facs * jax.random.normal(k_noise, batch.shape, dtype=batch.dtype)
+    return batch
+
+
+def make_cutouts(
+    key,
+    image,
+    cut_size: int,
+    cutn: int,
+    aspect: float,
+    *,
+    reflect_padding,
+    fill_color,
+    spot_mask=None,
+):
+    """One-call convenience: pool, sample transforms, render. Returns (batch, transforms)."""
+    k_t, k_jit, k_noise = jax.random.split(key, 3)
+    work = pool_to_work(image, cut_size, aspect)
+    if spot_mask is not None:
+        work = work * spot_mask[..., None]
+    transforms = sample_cut_transforms(k_t, cut_size, cutn, aspect)
+    batch = render_cutouts(
+        work,
+        transforms,
+        cut_size,
+        reflect_padding=reflect_padding,
+        fill_color=fill_color,
+        noise_key=k_noise,
+        jitter_key=k_jit,
+    )
+    return batch, transforms

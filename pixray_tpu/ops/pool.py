@@ -1,0 +1,74 @@
+"""Adaptive average / max pooling (NHWC), torch-semantics, TPU-friendly.
+
+Replaces the ``AdaptiveAvgPool2d``/``AdaptiveMaxPool2d`` pair feeding the cutout
+pipeline (/root/reference/pixray.py:442-443, 463).  Torch adaptive pooling uses
+variable-size windows ``[floor(i*In/Out), ceil((i+1)*In/Out))``; we realize this
+with a static gather of padded windows + masked reduction, which XLA fuses well
+and which keeps every shape static under jit.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _window_bounds(in_size: int, out_size: int):
+    starts = np.floor(np.arange(out_size) * in_size / out_size).astype(np.int32)
+    ends = np.ceil((np.arange(out_size) + 1) * in_size / out_size).astype(np.int32)
+    return starts, ends
+
+
+def _gather_windows(x, out_h: int, out_w: int):
+    """Gather (H_out, W_out, kh, kw) windows from an (H, W, C) image, with mask."""
+    h, w = x.shape[0], x.shape[1]
+    ys, ye = _window_bounds(h, out_h)
+    xs, xe = _window_bounds(w, out_w)
+    kh = int((ye - ys).max())
+    kw = int((xe - xs).max())
+
+    row_idx = ys[:, None] + np.arange(kh)[None, :]  # (out_h, kh)
+    col_idx = xs[:, None] + np.arange(kw)[None, :]  # (out_w, kw)
+    row_mask = row_idx < ye[:, None]
+    col_mask = col_idx < xe[:, None]
+    row_idx = np.minimum(row_idx, h - 1)
+    col_idx = np.minimum(col_idx, w - 1)
+
+    # (out_h, kh, W, C) -> (out_h, kh, out_w, kw, C)
+    rows = x[row_idx.reshape(-1)].reshape(out_h, kh, w, -1)
+    wins = rows[:, :, col_idx.reshape(-1)].reshape(out_h, kh, out_w, kw, -1)
+    mask = (row_mask[:, :, None, None] & col_mask[None, None, :, :])[..., None]
+    return wins, jnp.asarray(mask)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def adaptive_avg_pool(x, out_h: int, out_w: int):
+    """Torch-style adaptive average pool. x: (..., H, W, C)."""
+    def one(img):
+        wins, mask = _gather_windows(img, out_h, out_w)
+        total = jnp.sum(jnp.where(mask, wins, 0.0), axis=(1, 3))
+        count = jnp.sum(mask, axis=(1, 3)).astype(x.dtype)
+        return total / count
+
+    batch_shape = x.shape[:-3]
+    flat = x.reshape((-1,) + x.shape[-3:])
+    out = jax.vmap(one)(flat)
+    return out.reshape(batch_shape + out.shape[1:])
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def adaptive_max_pool(x, out_h: int, out_w: int):
+    """Torch-style adaptive max pool. x: (..., H, W, C)."""
+    def one(img):
+        wins, mask = _gather_windows(img, out_h, out_w)
+        neg = jnp.asarray(-jnp.inf, dtype=x.dtype)
+        return jnp.max(jnp.where(mask, wins, neg), axis=(1, 3))
+
+    batch_shape = x.shape[:-3]
+    flat = x.reshape((-1,) + x.shape[-3:])
+    out = jax.vmap(one)(flat)
+    return out.reshape(batch_shape + out.shape[1:])

@@ -1,0 +1,271 @@
+"""The pure jit-compiled optimization step — the framework's hot loop.
+
+This is the TPU-native re-design of the reference's train→ascend_txt→backward
+sequence (/root/reference/pixray.py:1436-1512, 1243-1406).  Where the reference
+mutates module state and calls ``.backward()`` per batch, here ONE pure function
+
+    (z, opt_state, key) → (z', opt_state', key', metrics)
+
+is traced and compiled once per static configuration; ``batches`` gradient
+accumulation runs as a ``lax.scan`` inside the step; all per-iteration stochastic
+quirks of the reference (padding-mode parity, random gray fill, per-cutout jitter,
+transform sharing with spot/image prompts) are expressed as explicit PRNG-key
+threading so the step stays pure and shardable.
+
+Structure of the loss (ascend_txt parity, pixray.py:1243-1406):
+  synth → filters → [flatten alpha] → per-perceptor cutouts → encode →
+  prompt-table losses (+spot/+spot_off/+target-frame/+image-prompt) →
+  image-label / init-weight losses → transparency loss → custom losses.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.flatten_util import ravel_pytree
+
+from pixray_tpu.engine import cutouts as C
+from pixray_tpu.engine.prompts import PromptTable, prompt_losses, single_prompt_loss
+from pixray_tpu.ops.grad import spherical_dist_loss
+
+
+@dataclass
+class PerceptorSpec:
+    """Static + device data for one perceptor inside the step."""
+
+    name: str
+    cut_size: int
+    image_fn: Callable  # (variables, images) -> (N, D) normalized embeds
+    variables: Any
+    table: PromptTable
+    spot_table: PromptTable
+    spot_off_table: PromptTable
+    target_table: PromptTable  # animation per-frame target prompts
+    spot_keep_on: Any = None  # (work_h, work_w) float masks, or None
+    spot_keep_off: Any = None
+    image_prompts: Any = None  # (K, H, W, 3) canvas-sized prompt images, or None
+    image_prompt_weight: float | None = None
+
+
+@dataclass
+class StepConfig:
+    """Everything static that shapes the compiled step."""
+
+    drawer: Any
+    perceptors: list[PerceptorSpec]
+    filters: list  # [(filter_obj, weight)]
+    custom_losses: list  # [(loss_obj, weight)]
+    num_cuts: int
+    batches: int
+    aspect: float
+    transparent: bool = False
+    transparent_weight: float = 0.0
+    init_weight: float | None = None
+    init_weight_dist: float = 0.0
+    init_weight_cos: float = 0.0
+    init_weight_pix: float = 0.0
+    image_label_weight: float = 1.0
+    image_prompt_shuffle: bool = False
+    args: Any = None  # resolved settings namespace, for custom losses
+
+
+def build_loss_fn(cfg: StepConfig, names_sink: list | None = None):
+    """Returns loss(z, refs, key, iteration, anim_index) -> (total, (values, img)).
+
+    Loss-term NAMES are static strings and cannot cross the jit boundary; they are
+    written into ``names_sink`` at trace time instead (same order as values).
+    """
+
+    drawer = cfg.drawer
+
+    def loss_fn(z, refs, key, iteration, anim_index):
+        names: list[str] = []
+        values: list = []
+
+        def add(name, value):
+            names.append(name)
+            values.append(value)
+
+        k_synth, k_fill, k_loss, *p_keys = jax.random.split(key, 3 + len(cfg.perceptors))
+
+        img = drawer.synth(refs["drawer_params"], z, iteration, k_synth)
+
+        # filters (pixray.py:1212-1222)
+        for i, (filt, weight) in enumerate(cfg.filters):
+            img, f_loss = filt(img, jax.random.fold_in(k_loss, i), refs.get("filter_params"))
+            add(f"filter:{type(filt).__name__}", weight * f_loss)
+
+        # flatten alpha (pixray.py:1225-1241): random gray squash when transparent
+        fill_color = jax.random.uniform(k_fill)
+        alpha = None
+        if img.shape[-1] == 4:
+            colors = img[..., :3]
+            if cfg.transparent:
+                alpha = img[..., 3:4]
+                img = alpha * colors + (1 - alpha) * fill_color
+            else:
+                img = colors
+
+        reflect_padding = (iteration % 2) == 0
+
+        cur_cutouts = {}
+        embeds_last = None
+        for spec, pk in zip(cfg.perceptors, p_keys):
+            k_t, k_jit, k_noise, k_spot_n, k_spot_off_n, k_img_n = jax.random.split(pk, 6)
+            work = C.pool_to_work(img, spec.cut_size, cfg.aspect)
+            transforms = C.sample_cut_transforms(k_t, spec.cut_size, cfg.num_cuts, cfg.aspect)
+
+            render = partial(
+                C.render_cutouts,
+                transforms=transforms,
+                cut_size=spec.cut_size,
+                reflect_padding=reflect_padding,
+                fill_color=fill_color,
+            )
+
+            main = render(work, noise_key=k_noise, jitter_key=k_jit)
+            cur_cutouts[spec.cut_size] = main
+            iii = spec.image_fn(refs["perceptors"][spec.name], main)
+            embeds_last = iii
+
+            pl = prompt_losses(iii, spec.table)
+            for i in range(spec.table.size):
+                add(f"{spec.name}:prompt{i}", pl[i])
+
+            # animation target-frame prompt: one row selected by anim_index
+            if spec.target_table.size:
+                tl = prompt_losses(iii, spec.target_table)  # (T,)
+                idx = anim_index % spec.target_table.size
+                add(f"{spec.name}:target_frame", tl[idx])
+
+            # spot prompts use the SAME transforms, masked working canvas
+            if spec.spot_table.size:
+                spot_cuts = render(work * spec.spot_keep_on[..., None], noise_key=k_spot_n)
+                iii_s = spec.image_fn(refs["perceptors"][spec.name], spot_cuts)
+                sl = prompt_losses(iii_s, spec.spot_table)
+                for i in range(spec.spot_table.size):
+                    add(f"{spec.name}:spot{i}", sl[i])
+            if spec.spot_off_table.size:
+                spot_cuts = render(work * spec.spot_keep_off[..., None], noise_key=k_spot_off_n)
+                iii_so = spec.image_fn(refs["perceptors"][spec.name], spot_cuts)
+                sl = prompt_losses(iii_so, spec.spot_off_table)
+                for i in range(spec.spot_off_table.size):
+                    add(f"{spec.name}:spot_off{i}", sl[i])
+
+            # image prompts: same transforms (pixray.py:1308-1336); if shuffling,
+            # fresh transforms per prompt image
+            if spec.image_prompts is not None:
+                k_imgs = jax.random.split(k_img_n, spec.image_prompts.shape[0] + 1)
+                n_imgp = spec.image_prompts.shape[0]
+                weight = 1.0 if spec.image_prompt_weight is None else spec.image_prompt_weight
+                for k_i in range(n_imgp):
+                    timg = refs["image_prompts"][spec.name][k_i]
+                    # animation: only the anim_index-th prompt participates
+                    t = transforms
+                    if cfg.image_prompt_shuffle:
+                        t = C.sample_cut_transforms(
+                            jax.random.fold_in(k_imgs[-1], k_i), spec.cut_size, cfg.num_cuts, cfg.aspect
+                        )
+                    p_work = C.pool_to_work(timg, spec.cut_size, cfg.aspect)
+                    batch = C.render_cutouts(
+                        p_work, t, spec.cut_size,
+                        reflect_padding=reflect_padding, fill_color=fill_color,
+                        noise_key=k_imgs[k_i],
+                    )
+                    embed = spec.image_fn(refs["perceptors"][spec.name], batch)
+                    add(f"{spec.name}:image_prompt{k_i}", single_prompt_loss(iii, embed, weight))
+
+        # image-label loss (pixray.py:1344-1349): spherical distance in latent space
+        if refs.get("z_labels") is not None:
+            z_flat = ravel_pytree(z)[0][None, :]
+            for i, z_label in enumerate(refs["z_labels"]):
+                lbl = jnp.reshape(z_label, (1, -1))
+                add(
+                    f"image_label{i}",
+                    jnp.mean(spherical_dist_loss(z_flat, lbl)) * cfg.image_label_weight,
+                )
+
+        # init-weight losses (pixray.py:1351-1375)
+        if cfg.init_weight:
+            z_flat = ravel_pytree(z)[0][None, :]
+            z0 = jnp.reshape(refs["z_orig_flat"], (1, -1))
+            add("init_weight", jnp.mean(spherical_dist_loss(z_flat, z0)) * cfg.init_weight)
+        if cfg.init_weight_dist:
+            z_flat = ravel_pytree(z)[0]
+            z0 = refs["z_orig_flat"]
+            add("init_weight_dist", jnp.mean((z_flat - z0) ** 2) * cfg.init_weight_dist / 2)
+        if cfg.init_weight_pix:
+            add(
+                "init_weight_pix",
+                jnp.mean(jnp.abs(img - refs["init_image"])) * cfg.init_weight_pix / 2,
+            )
+        if cfg.init_weight_cos:
+            z_flat = ravel_pytree(z)[0][None, :]
+            z0 = jnp.reshape(refs["z_orig_flat"], (1, -1))
+            cos = optax.cosine_similarity(z_flat, z0)
+            add("init_weight_cos", jnp.mean(1.0 - cos) * cfg.init_weight_cos)
+
+        # transparency loss (pixray.py:1383-1386)
+        if alpha is not None and cfg.transparent_weight != 0:
+            add("transparent", cfg.transparent_weight * jnp.mean(alpha))
+
+        # custom losses (pixray.py:1388-1398)
+        loss_globals = {"cur_iteration": iteration, "embeds": embeds_last,
+                        "fill_color": fill_color}
+        for i, (loss_obj, weight) in enumerate(cfg.custom_losses):
+            out = loss_obj.get_loss(
+                cur_cutouts, img, cfg.args,
+                globals=loss_globals,
+                lossGlobals=refs.get("loss_globals"),
+                key=jax.random.fold_in(k_loss, 1000 + i),
+            )
+            if isinstance(out, (list, tuple)):
+                for j, l in enumerate(out):
+                    add(f"loss:{type(loss_obj).__name__}:{j}", weight * l)
+            else:
+                add(f"loss:{type(loss_obj).__name__}", weight * out)
+
+        total = jnp.sum(jnp.stack(values)) if values else jnp.zeros(())
+        if names_sink is not None:
+            names_sink[:] = names
+        return total, (jnp.stack(values) if values else jnp.zeros((0,)), img)
+
+    return loss_fn
+
+
+def build_step(cfg: StepConfig, optimizer, mesh=None, shard_cutouts=False):
+    """Build the jitted train step.
+
+    step(z, opt_state, key, iteration, anim_index, refs) →
+        (z, opt_state, total_loss, loss_values, image)
+
+    ``batches`` gradient accumulation is a lax.scan; the optimizer update and the
+    drawer's latent projection (clip_params) run once at the end, matching the
+    reference's train() (pixray.py:1436-1512).
+    """
+    names_sink: list = []
+    loss_fn = build_loss_fn(cfg, names_sink)
+    value_grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def step(z, opt_state, key, iteration, anim_index, refs):
+        keys = jax.random.split(key, cfg.batches)
+        # metrics come from the FIRST batch (reference checkin reads batch 0,
+        # pixray.py:1466-1479); gradients accumulate over all batches
+        (total0, (vals0, img0)), grads_acc = value_grad_fn(
+            z, refs, keys[0], iteration, anim_index
+        )
+        for b in range(1, cfg.batches):
+            (_, _), g = value_grad_fn(z, refs, keys[b], iteration, anim_index)
+            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, g)
+
+        updates, opt_state = optimizer.update(grads_acc, opt_state, z)
+        z = optax.apply_updates(z, updates)
+        z = cfg.drawer.clip_params(z)
+        return z, opt_state, total0, vals0, img0
+
+    return jax.jit(step, donate_argnums=(0, 1)), names_sink

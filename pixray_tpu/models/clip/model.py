@@ -1,0 +1,287 @@
+"""Flax CLIP: ViT and ModifiedResNet image towers + causal text tower.
+
+TPU-native re-implementation of the perceptor models the reference loads through
+the ``clip`` pip package (/root/reference/slip.py:173-186).  Design notes:
+
+- channels-last (NHWC) throughout; patch embedding is one big reshaped matmul;
+- parameters live in fp32; matmuls run in a configurable ``dtype`` (bf16 by
+  default on TPU) with fp32 accumulation (``preferred_element_type``);
+- LayerNorm/softmax always compute in fp32 for stability;
+- attention uses packed qkv projections matching OpenAI parameter layout, so the
+  weight converter is a pure renaming.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .configs import CLIPConfig
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class LayerNorm(nn.Module):
+    """fp32 LayerNorm returning the input dtype."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        x = x.astype(jnp.float32)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        return (y * scale + bias).astype(orig_dtype)
+
+
+class MultiHeadAttention(nn.Module):
+    """Packed-qkv multi-head attention (torch nn.MultiheadAttention layout)."""
+
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        # x: (B, T, D)
+        d = x.shape[-1]
+        qkv = nn.Dense(3 * d, dtype=self.dtype, name="in_proj")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        b, t, _ = x.shape
+        h = self.num_heads
+        hd = d // h
+        q = q.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
+
+        scale = 1.0 / jnp.sqrt(hd).astype(q.dtype)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32)
+        if mask is not None:
+            attn = attn + mask
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v, preferred_element_type=jnp.float32)
+        out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, t, d)
+        return nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
+
+
+class ResidualAttentionBlock(nn.Module):
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        d = x.shape[-1]
+        x = x + MultiHeadAttention(self.num_heads, dtype=self.dtype, name="attn")(
+            LayerNorm(name="ln_1")(x), mask
+        )
+        h = LayerNorm(name="ln_2")(x)
+        h = nn.Dense(4 * d, dtype=self.dtype, name="mlp_fc")(h)
+        h = quick_gelu(h)
+        h = nn.Dense(d, dtype=self.dtype, name="mlp_proj")(h)
+        return x + h
+
+
+class Transformer(nn.Module):
+    layers: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        for i in range(self.layers):
+            x = ResidualAttentionBlock(self.num_heads, dtype=self.dtype, name=f"resblock_{i}")(x, mask)
+        return x
+
+
+class VisionTransformer(nn.Module):
+    config: CLIPConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images):
+        """images: (B, H, W, 3), already preprocessed/normalized."""
+        cfg = self.config
+        p = cfg.vision_patch_size
+        width = cfg.vision_width
+        b, hgt, wdt, _ = images.shape
+        gh, gw = hgt // p, wdt // p
+
+        # patch embedding as one matmul: (B, gh, gw, p*p*3) @ (p*p*3, width)
+        x = images.reshape(b, gh, p, gw, p, 3).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(b, gh * gw, p * p * 3).astype(self.dtype)
+        patch_kernel = self.param(
+            "patch_embedding",
+            nn.initializers.lecun_normal(),
+            (p * p * 3, width),
+        )
+        x = jnp.dot(x, patch_kernel.astype(self.dtype), preferred_element_type=jnp.float32).astype(self.dtype)
+
+        cls = self.param("class_embedding", nn.initializers.normal(0.02), (width,))
+        cls = jnp.broadcast_to(cls.astype(self.dtype), (b, 1, width))
+        x = jnp.concatenate([cls, x], axis=1)
+
+        pos = self.param(
+            "positional_embedding", nn.initializers.normal(0.01), (gh * gw + 1, width)
+        )
+        x = x + pos.astype(self.dtype)
+        x = LayerNorm(name="ln_pre")(x)
+        x = Transformer(cfg.vision_layers, cfg.vision_heads, dtype=self.dtype, name="transformer")(x)
+        x = LayerNorm(name="ln_post")(x[:, 0, :])
+
+        proj = self.param(
+            "proj", nn.initializers.normal(0.02), (width, cfg.embed_dim)
+        )
+        return jnp.dot(x.astype(self.dtype), proj.astype(self.dtype), preferred_element_type=jnp.float32)
+
+
+class Bottleneck(nn.Module):
+    """ModifiedResNet bottleneck: avgpool-based (anti-aliased) downsampling."""
+
+    planes: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        expansion = 4
+        inplanes = x.shape[-1]
+        conv = lambda f, k, name: nn.Conv(
+            f, (k, k), padding="SAME" if k > 1 else "VALID", use_bias=False, dtype=self.dtype, name=name
+        )
+        bn = lambda name: nn.BatchNorm(use_running_average=True, dtype=jnp.float32, name=name)
+
+        out = nn.relu(bn("bn1")(conv(self.planes, 1, "conv1")(x)))
+        out = nn.relu(bn("bn2")(conv(self.planes, 3, "conv2")(out)))
+        if self.stride > 1:
+            out = nn.avg_pool(out, (self.stride, self.stride), (self.stride, self.stride))
+        out = bn("bn3")(conv(self.planes * expansion, 1, "conv3")(out))
+
+        if self.stride > 1 or inplanes != self.planes * expansion:
+            identity = nn.avg_pool(x, (self.stride, self.stride), (self.stride, self.stride)) if self.stride > 1 else x
+            identity = bn("downsample_bn")(conv(self.planes * expansion, 1, "downsample_conv")(identity))
+        else:
+            identity = x
+        return nn.relu(out + identity)
+
+
+class AttentionPool2d(nn.Module):
+    num_heads: int
+    embed_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, H, W, C)
+        b, h, w, c = x.shape
+        x = x.reshape(b, h * w, c)
+        mean = jnp.mean(x, axis=1, keepdims=True)
+        x = jnp.concatenate([mean, x], axis=1)  # (B, HW+1, C)
+        pos = self.param(
+            "positional_embedding", nn.initializers.normal(0.01), (h * w + 1, c)
+        )
+        x = (x + pos.astype(x.dtype)).astype(self.dtype)
+
+        q = nn.Dense(c, dtype=self.dtype, name="q_proj")(x[:, :1])
+        k = nn.Dense(c, dtype=self.dtype, name="k_proj")(x)
+        v = nn.Dense(c, dtype=self.dtype, name="v_proj")(x)
+
+        hd = c // self.num_heads
+        q = q.reshape(b, 1, self.num_heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, -1, self.num_heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, -1, self.num_heads, hd).transpose(0, 2, 1, 3)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q / jnp.sqrt(hd).astype(q.dtype), k, preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v, preferred_element_type=jnp.float32)
+        out = out.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b, 1, c)
+        out = nn.Dense(self.embed_dim, dtype=self.dtype, name="c_proj")(out)
+        return out[:, 0]
+
+
+class ModifiedResNet(nn.Module):
+    config: CLIPConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images):
+        cfg = self.config
+        width = cfg.vision_width
+        conv = lambda f, k, s, name: nn.Conv(
+            f, (k, k), strides=(s, s), padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype, name=name
+        )
+        bn = lambda name: nn.BatchNorm(use_running_average=True, dtype=jnp.float32, name=name)
+
+        x = images.astype(self.dtype)
+        x = nn.relu(bn("bn1")(conv(width // 2, 3, 2, "conv1")(x)))
+        x = nn.relu(bn("bn2")(conv(width // 2, 3, 1, "conv2")(x)))
+        x = nn.relu(bn("bn3")(conv(width, 3, 1, "conv3")(x)))
+        x = nn.avg_pool(x, (2, 2), (2, 2))
+
+        for stage, blocks in enumerate(cfg.vision_layers):
+            planes = width * (2**stage)
+            for blk in range(blocks):
+                stride = 2 if (blk == 0 and stage > 0) else 1
+                x = Bottleneck(planes, stride, dtype=self.dtype, name=f"layer{stage + 1}_{blk}")(x)
+
+        heads = width * 32 // 64
+        return AttentionPool2d(heads, cfg.embed_dim, dtype=self.dtype, name="attnpool")(x)
+
+
+class TextTransformer(nn.Module):
+    config: CLIPConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens):
+        cfg = self.config
+        emb = self.param(
+            "token_embedding", nn.initializers.normal(0.02), (cfg.vocab_size, cfg.text_width)
+        )
+        x = emb[tokens].astype(self.dtype)  # (B, T, W)
+        pos = self.param(
+            "positional_embedding", nn.initializers.normal(0.01), (cfg.context_length, cfg.text_width)
+        )
+        x = x + pos[: x.shape[1]].astype(self.dtype)
+
+        t = x.shape[1]
+        mask = jnp.triu(jnp.full((t, t), -jnp.inf, dtype=jnp.float32), k=1)
+        x = Transformer(cfg.text_layers, cfg.text_heads, dtype=self.dtype, name="transformer")(x, mask)
+        x = LayerNorm(name="ln_final")(x)
+
+        eot = jnp.argmax(tokens, axis=-1)
+        x = x[jnp.arange(x.shape[0]), eot]
+        proj = self.param(
+            "text_projection", nn.initializers.normal(0.02), (cfg.text_width, cfg.embed_dim)
+        )
+        return jnp.dot(x.astype(self.dtype), proj.astype(self.dtype), preferred_element_type=jnp.float32)
+
+
+class CLIP(nn.Module):
+    """Full CLIP: ``encode_image`` / ``encode_text`` via method selection."""
+
+    config: CLIPConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        if self.config.vision_kind == "vit":
+            self.visual = VisionTransformer(self.config, dtype=self.dtype)
+        else:
+            self.visual = ModifiedResNet(self.config, dtype=self.dtype)
+        self.text = TextTransformer(self.config, dtype=self.dtype)
+
+    def encode_image(self, images):
+        return self.visual(images)
+
+    def encode_text(self, tokens):
+        return self.text(tokens)
+
+    def __call__(self, images, tokens):
+        return self.encode_image(images), self.encode_text(tokens)

@@ -1,0 +1,166 @@
+"""Perceptor layer: the uniform frozen-scoring-model API over CLIP/SLIP towers.
+
+Parity with /root/reference/slip.py (CLIP_Base, SLIP_Base, get_clip_perceptor):
+``encode_image`` / ``encode_text`` / ``input_resolution`` / ``output_dim``, with
+the per-family preprocessing stats (CLIP vs ImageNet) and the reference's
+batch-range adjustment (slip.py:21-42: stretch the batch to [0,1] by its min/max
+before standardizing).
+
+TPU design: ``image_fn(variables, images)`` is a PURE function suitable for use
+inside the engine's jitted step; the perceptor object only carries the variables
+pytree and static metadata.  Text encoding happens host-side at init.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pixray_tpu.ops.grad import l2_normalize
+
+from .clip.configs import (
+    CLIP_CONFIGS,
+    CLIP_MEAN,
+    CLIP_STD,
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    SLIP_CONFIGS,
+)
+from .clip.model import CLIP
+from .clip.tokenizer import tokenize
+
+
+def adjust_range(img, out_lo=0.0, out_hi=1.0):
+    """Stretch a batch to [out_lo, out_hi] by its global min/max (slip.py:21-42)."""
+    minv = jnp.min(img)
+    maxv = jnp.max(img) - minv
+    img = img - minv
+    img = jnp.where(maxv != 0, img / maxv, img)
+    return img * (out_hi - out_lo) + out_lo
+
+
+_CKPT_ALIASES = {
+    "ViT-B/32": ["ViT-B-32.pt", "vit_b_32.pt"],
+    "ViT-B/16": ["ViT-B-16.pt", "vit_b_16.pt"],
+    "ViT-L/14": ["ViT-L-14.pt"],
+    "RN50": ["RN50.pt"],
+    "RN101": ["RN101.pt"],
+    "RN50x4": ["RN50x4.pt"],
+    "RN50x16": ["RN50x16.pt"],
+    # SLIP family (reference slip.py:90-110)
+    "SLIP_VITS16": ["slip_small_100ep.pt"],
+    "SLIP_VITB16": ["slip_base_100ep.pt"],
+    "SLIP_VITL16": ["slip_large_100ep.pt"],
+    "SIMCLR_VITS16": ["simclr_small_25ep.pt"],
+    "CLIP_VITS16": ["clip_small_25ep.pt"],
+    "CLIP_VITB16": ["clip_base_25ep.pt"],
+    "CLIP_VITL16": ["clip_large_25ep.pt"],
+    "SLIP_CC3M": ["slip_base_cc3m_40ep.pt"],
+    "SLIP_CC12M": ["slip_base_cc12m_35ep.pt"],
+}
+
+
+def _find_checkpoint(name: str):
+    search_dirs = [
+        os.environ.get("PIXRAY_TPU_MODELS", ""),
+        "models",
+        os.path.expanduser("~/.cache/pixray_tpu"),
+    ]
+    for d in search_dirs:
+        if not d:
+            continue
+        for alias in _CKPT_ALIASES.get(name, []):
+            path = os.path.join(d, alias)
+            if os.path.exists(path):
+                return path
+    return None
+
+
+class Perceptor:
+    """A frozen scoring model with a pure jit-safe image-embedding function."""
+
+    def __init__(self, name: str, dtype=jnp.bfloat16):
+        if name in CLIP_CONFIGS:
+            self.config = CLIP_CONFIGS[name]
+            mean, std = CLIP_MEAN, CLIP_STD
+        elif name in SLIP_CONFIGS:
+            self.config = SLIP_CONFIGS[name]
+            mean, std = IMAGENET_MEAN, IMAGENET_STD
+        else:
+            raise ValueError(f"Unknown perceptor: {name} "
+                             f"(have {sorted(CLIP_CONFIGS) + sorted(SLIP_CONFIGS)})")
+        self.name = name
+        self.input_resolution = self.config.image_resolution
+        self.output_dim = self.config.embed_dim
+        self.mean = jnp.asarray(mean, dtype=jnp.float32)
+        self.std = jnp.asarray(std, dtype=jnp.float32)
+        self.model = CLIP(self.config, dtype=dtype)
+        self.variables = self._load_variables(name)
+
+    # ------------------------------------------------------------------ loading
+    def _load_variables(self, name):
+        ckpt = _find_checkpoint(name)
+        if ckpt is not None:
+            from .clip.convert import convert_hf_clip, convert_openai_clip, load_torch_state_dict
+
+            sd = load_torch_state_dict(ckpt)
+            if any(k.startswith("vision_model.") for k in sd):
+                variables = convert_hf_clip(sd, self.config)
+            else:
+                if any(k.startswith("module.") for k in sd):  # SLIP DDP checkpoints
+                    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+                variables = convert_openai_clip(sd, self.config)
+            n_params = sum(np.prod(v.shape) for v in jax.tree_util.tree_leaves(variables["params"]))
+            print(f"Loaded perceptor {name}: {self.input_resolution}px, {n_params / 1e6:.2f}M params")
+            return jax.tree_util.tree_map(jnp.asarray, variables)
+
+        print(
+            f"WARNING: no checkpoint found for perceptor {name} — initializing random "
+            f"weights (set $PIXRAY_TPU_MODELS or place weights under models/)."
+        )
+        key = jax.random.PRNGKey(abs(hash(name)) % (2**31))
+        dummy_img = jnp.zeros((1, self.input_resolution, self.input_resolution, 3))
+        dummy_tok = jnp.zeros((1, self.config.context_length), dtype=jnp.int32)
+        return self.model.init(key, dummy_img, dummy_tok)
+
+    # ------------------------------------------------------------------- encode
+    def preprocess(self, imgs):
+        """Batch range-stretch + resize-if-needed + per-channel standardize."""
+        imgs = adjust_range(imgs)
+        r = self.input_resolution
+        if imgs.shape[1] != r or imgs.shape[2] != r:
+            imgs = jax.image.resize(imgs, (imgs.shape[0], r, r, 3), method="bilinear")
+        return (imgs - self.mean) / self.std
+
+    def image_fn(self, variables, imgs, apply_preprocess=True):
+        """PURE: (N, H, W, 3) float [0,1] → (N, output_dim) L2-normalized embeddings."""
+        if apply_preprocess:
+            imgs = self.preprocess(imgs)
+        embeds = self.model.apply(variables, imgs, method=self.model.encode_image)
+        return l2_normalize(embeds.astype(jnp.float32), axis=-1)
+
+    def encode_image(self, imgs, apply_preprocess=True):
+        return self.image_fn(self.variables, jnp.asarray(imgs), apply_preprocess)
+
+    def encode_text(self, text):
+        """Host-side text embedding; accepts str or list[str]; raw (not normalized)."""
+        tokens = jnp.asarray(tokenize(text))
+        embeds = self.model.apply(self.variables, tokens, method=self.model.encode_text)
+        return embeds.astype(jnp.float32)
+
+    def encode_texts(self, texts):
+        embeds = self.encode_text(texts)
+        return l2_normalize(embeds, axis=-1)
+
+
+# persistent perceptor cache (reference pixray.py:633-640, 1058-1060)
+_perceptor_cache: dict[str, Perceptor] = {}
+
+
+def get_clip_perceptor(name: str, dtype=jnp.bfloat16) -> Perceptor:
+    if name not in _perceptor_cache:
+        _perceptor_cache[name] = Perceptor(name, dtype=dtype)
+    return _perceptor_cache[name]

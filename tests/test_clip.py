@@ -1,0 +1,240 @@
+"""CLIP tower tests: golden comparison against torch (HF transformers) with shared
+random weights, converter structural checks, tokenizer behavior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pixray_tpu.models.clip.configs import CLIPConfig
+from pixray_tpu.models.clip.model import CLIP
+
+
+def tiny_vit_config():
+    return CLIPConfig(
+        name="tiny-vit", embed_dim=48, image_resolution=32, vision_kind="vit",
+        vision_width=64, vision_layers=2, vision_patch_size=8, vision_heads=2,
+        context_length=16, vocab_size=64, text_width=32, text_heads=2, text_layers=2,
+    )
+
+
+def tiny_rn_config():
+    return CLIPConfig(
+        name="tiny-rn", embed_dim=32, image_resolution=32, vision_kind="resnet",
+        vision_width=8, vision_layers=(1, 1, 1, 1), vision_patch_size=None,
+        vision_heads=4, context_length=16, vocab_size=64, text_width=32,
+        text_heads=2, text_layers=2,
+    )
+
+
+class TestGoldenVsTorch:
+    """Numerical parity with HuggingFace CLIPModel under shared random weights."""
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        torch = pytest.importorskip("torch")
+        import transformers
+
+        cfg = tiny_vit_config()
+        hf_config = transformers.CLIPConfig(
+            projection_dim=cfg.embed_dim,
+            vision_config=dict(
+                hidden_size=cfg.vision_width, intermediate_size=4 * cfg.vision_width,
+                num_hidden_layers=cfg.vision_layers, num_attention_heads=cfg.vision_heads,
+                image_size=cfg.image_resolution, patch_size=cfg.vision_patch_size,
+                hidden_act="quick_gelu", projection_dim=cfg.embed_dim,
+            ),
+            text_config=dict(
+                hidden_size=cfg.text_width, intermediate_size=4 * cfg.text_width,
+                num_hidden_layers=cfg.text_layers, num_attention_heads=cfg.text_heads,
+                vocab_size=cfg.vocab_size, max_position_embeddings=cfg.context_length,
+                hidden_act="quick_gelu", projection_dim=cfg.embed_dim,
+                # OpenAI pools text features at argmax(token_id) (the EOT token);
+                # HF pools at eos_token_id — align them for the golden comparison
+                eos_token_id=cfg.vocab_size - 1,
+            ),
+        )
+        torch.manual_seed(0)
+        hf_model = transformers.CLIPModel(hf_config).eval()
+
+        from pixray_tpu.models.clip.convert import convert_hf_clip
+
+        sd = {k: v.detach().numpy() for k, v in hf_model.state_dict().items()}
+        variables = convert_hf_clip(sd, cfg)
+        flax_model = CLIP(cfg, dtype=jnp.float32)
+        return hf_model, flax_model, variables, cfg
+
+    def test_image_tower_matches(self, pair):
+        import torch
+
+        hf_model, flax_model, variables, cfg = pair
+        rng = np.random.default_rng(1)
+        img = rng.standard_normal((2, cfg.image_resolution, cfg.image_resolution, 3)).astype(np.float32)
+
+        ours = np.asarray(
+            flax_model.apply(variables, jnp.asarray(img), method=flax_model.encode_image)
+        )
+        theirs = hf_model.get_image_features(
+            pixel_values=torch.from_numpy(img.transpose(0, 3, 1, 2))
+        ).detach().numpy()
+        # torch-CPU convs take a oneDNN fast path with relaxed accumulation, so we
+        # bound absolute error and direction rather than elementwise relative error
+        assert np.abs(ours - theirs).max() < 1e-2
+        cos = (ours * theirs).sum(-1) / (np.linalg.norm(ours, axis=-1) * np.linalg.norm(theirs, axis=-1))
+        assert np.all(cos > 0.99999)
+
+    def test_text_tower_matches(self, pair):
+        import torch
+
+        hf_model, flax_model, variables, cfg = pair
+        rng = np.random.default_rng(2)
+        # EOT pooling uses argmax(tokens): make the last real token the largest id
+        tokens = rng.integers(1, cfg.vocab_size - 1, (2, cfg.context_length)).astype(np.int32)
+        tokens[:, 5] = cfg.vocab_size - 1
+
+        ours = np.asarray(
+            flax_model.apply(variables, jnp.asarray(tokens), method=flax_model.encode_text)
+        )
+        theirs = hf_model.get_text_features(
+            input_ids=torch.from_numpy(tokens.astype(np.int64))
+        ).detach().numpy()
+        assert np.abs(ours - theirs).max() < 5e-2
+        cos = (ours * theirs).sum(-1) / (np.linalg.norm(ours, axis=-1) * np.linalg.norm(theirs, axis=-1))
+        assert np.all(cos > 0.9999)
+
+    def test_image_tower_gradient_flows(self, pair):
+        _, flax_model, variables, cfg = pair
+
+        def loss(img):
+            e = flax_model.apply(variables, img, method=flax_model.encode_image)
+            return jnp.sum(e**2)
+
+        img = jnp.ones((1, cfg.image_resolution, cfg.image_resolution, 3)) * 0.5
+        g = jax.grad(loss)(img)
+        assert jnp.all(jnp.isfinite(g))
+        assert jnp.any(g != 0)
+
+
+def _openai_style_state_dict(cfg, rng):
+    """Synthetic state dict in OpenAI CLIP naming/layout for converter tests."""
+    sd = {}
+
+    def add(name, *shape):
+        sd[name] = rng.standard_normal(shape).astype(np.float32) * 0.02
+
+    def add_block(prefix, d):
+        add(f"{prefix}.ln_1.weight", d); add(f"{prefix}.ln_1.bias", d)
+        add(f"{prefix}.ln_2.weight", d); add(f"{prefix}.ln_2.bias", d)
+        add(f"{prefix}.attn.in_proj_weight", 3 * d, d)
+        add(f"{prefix}.attn.in_proj_bias", 3 * d)
+        add(f"{prefix}.attn.out_proj.weight", d, d)
+        add(f"{prefix}.attn.out_proj.bias", d)
+        add(f"{prefix}.mlp.c_fc.weight", 4 * d, d); add(f"{prefix}.mlp.c_fc.bias", 4 * d)
+        add(f"{prefix}.mlp.c_proj.weight", d, 4 * d); add(f"{prefix}.mlp.c_proj.bias", d)
+
+    if cfg.vision_kind == "vit":
+        p, w = cfg.vision_patch_size, cfg.vision_width
+        n = (cfg.image_resolution // p) ** 2 + 1
+        add("visual.conv1.weight", w, 3, p, p)
+        add("visual.class_embedding", w)
+        add("visual.positional_embedding", n, w)
+        add("visual.ln_pre.weight", w); add("visual.ln_pre.bias", w)
+        add("visual.ln_post.weight", w); add("visual.ln_post.bias", w)
+        add("visual.proj", w, cfg.embed_dim)
+        for i in range(cfg.vision_layers):
+            add_block(f"visual.transformer.resblocks.{i}", w)
+    else:
+        w = cfg.vision_width
+
+        def add_bn(prefix, c):
+            add(f"{prefix}.weight", c); add(f"{prefix}.bias", c)
+            sd[f"{prefix}.running_mean"] = np.zeros(c, np.float32)
+            sd[f"{prefix}.running_var"] = np.ones(c, np.float32)
+
+        add("visual.conv1.weight", w // 2, 3, 3, 3); add_bn("visual.bn1", w // 2)
+        add("visual.conv2.weight", w // 2, w // 2, 3, 3); add_bn("visual.bn2", w // 2)
+        add("visual.conv3.weight", w, w // 2, 3, 3); add_bn("visual.bn3", w)
+        inplanes = w
+        for stage, blocks in enumerate(cfg.vision_layers):
+            planes = w * (2**stage)
+            for blk in range(blocks):
+                pre = f"visual.layer{stage + 1}.{blk}"
+                add(f"{pre}.conv1.weight", planes, inplanes, 1, 1); add_bn(f"{pre}.bn1", planes)
+                add(f"{pre}.conv2.weight", planes, planes, 3, 3); add_bn(f"{pre}.bn2", planes)
+                add(f"{pre}.conv3.weight", planes * 4, planes, 1, 1); add_bn(f"{pre}.bn3", planes * 4)
+                if blk == 0 and (stage > 0 or inplanes != planes * 4):
+                    add(f"{pre}.downsample.0.weight", planes * 4, inplanes, 1, 1)
+                    add_bn(f"{pre}.downsample.1", planes * 4)
+                inplanes = planes * 4
+        feat = w * 32
+        spatial = cfg.image_resolution // 32
+        add("visual.attnpool.positional_embedding", spatial * spatial + 1, feat)
+        for proj in ("q_proj", "k_proj", "v_proj"):
+            add(f"visual.attnpool.{proj}.weight", feat, feat)
+            add(f"visual.attnpool.{proj}.bias", feat)
+        add("visual.attnpool.c_proj.weight", cfg.embed_dim, feat)
+        add("visual.attnpool.c_proj.bias", cfg.embed_dim)
+
+    tw = cfg.text_width
+    add("token_embedding.weight", cfg.vocab_size, tw)
+    add("positional_embedding", cfg.context_length, tw)
+    add("ln_final.weight", tw); add("ln_final.bias", tw)
+    add("text_projection", tw, cfg.embed_dim)
+    for i in range(cfg.text_layers):
+        add_block(f"transformer.resblocks.{i}", tw)
+    return sd
+
+
+@pytest.mark.parametrize("cfg_fn", [tiny_vit_config, tiny_rn_config])
+def test_openai_converter_matches_init_tree(cfg_fn):
+    """convert_openai_clip must produce exactly the tree model.init builds."""
+    from pixray_tpu.models.clip.convert import convert_openai_clip
+
+    cfg = cfg_fn()
+    rng = np.random.default_rng(0)
+    variables = convert_openai_clip(_openai_style_state_dict(cfg, rng), cfg)
+
+    model = CLIP(cfg, dtype=jnp.float32)
+    ref = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.image_resolution, cfg.image_resolution, 3)),
+        jnp.zeros((1, cfg.context_length), dtype=jnp.int32),
+    )
+
+    ref_shapes = jax.tree_util.tree_map(lambda x: x.shape, ref)
+    got_shapes = jax.tree_util.tree_map(lambda x: x.shape, variables)
+    ref_flat = jax.tree_util.tree_flatten_with_path(ref_shapes)[0]
+    got_flat = jax.tree_util.tree_flatten_with_path(got_shapes)[0]
+    assert {str(k): v for k, v in ref_flat} == {str(k): v for k, v in got_flat}
+
+    # converted weights must actually run
+    img = jnp.ones((1, cfg.image_resolution, cfg.image_resolution, 3)) * 0.3
+    out = model.apply(variables, img, method=model.encode_image)
+    assert out.shape == (1, cfg.embed_dim)
+    assert jnp.all(jnp.isfinite(out))
+
+
+class TestTokenizer:
+    def test_fallback_roundtrip(self):
+        from pixray_tpu.models.clip.tokenizer import SimpleTokenizer
+
+        tok = SimpleTokenizer(bpe_path=None) if True else None
+        ids = tok.encode("hello world")
+        assert len(ids) > 0
+        assert "hello world" in tok.decode(ids)
+
+    def test_tokenize_shape_and_specials(self):
+        from pixray_tpu.models.clip.tokenizer import get_tokenizer, tokenize
+
+        arr = tokenize(["a cat", "a dog"], context_length=77)
+        assert arr.shape == (2, 77)
+        tok = get_tokenizer()
+        assert arr[0, 0] == tok.sot_token
+        assert tok.eot_token in arr[0]
+
+    def test_truncation(self):
+        from pixray_tpu.models.clip.tokenizer import get_tokenizer, tokenize
+
+        arr = tokenize("word " * 200, context_length=16)
+        assert arr.shape == (1, 16)
+        assert arr[0, -1] == get_tokenizer().eot_token

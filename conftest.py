@@ -1,14 +1,25 @@
-"""Test configuration: force an 8-device virtual CPU mesh before JAX imports.
+"""Test configuration: route tests to an 8-device virtual CPU mesh.
 
-This is the standard JAX answer to testing multi-device sharding without real
-hardware; tests exercising tpu-specific behavior must skip when unavailable.
+The execution environment may pre-register an accelerator backend at interpreter
+startup (before conftest runs), so JAX_PLATFORMS alone is not sufficient.  We set
+the host-platform device-count flag BEFORE the CPU client is created, force CPU
+client creation, and make cpu:0 the default device — the standard JAX answer to
+testing multi-device sharding without a cluster.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax  # noqa: E402
+
+try:
+    _cpu_devices = jax.devices("cpu")  # creates the CPU client under XLA_FLAGS
+    jax.config.update("jax_default_device", _cpu_devices[0])
+except RuntimeError:  # pragma: no cover
+    pass

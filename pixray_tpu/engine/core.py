@@ -28,7 +28,7 @@ from PIL import Image
 
 from pixray_tpu import registry
 from pixray_tpu.engine import cutouts as C
-from pixray_tpu.engine.optimizers import build_optimizer, set_learning_rate
+from pixray_tpu.engine.optimizers import build_optimizer
 from pixray_tpu.engine.prompts import build_prompt_tables
 from pixray_tpu.engine.schedule import BestTracker, apply_overlay
 from pixray_tpu.engine.step import PerceptorSpec, StepConfig, build_step
@@ -295,17 +295,23 @@ class Engine:
             print(f"Using initial image {args.init_image} ({len(self.init_image_rgba_list)})")
 
     # ------------------------------------------------------------------ optimizer
-    def _current_lr(self):
-        drawer_lr = getattr(self.drawer, "learning_rate", None)
-        base = drawer_lr if drawer_lr is not None else self.args.learning_rate
-        return base / self.tracker.drop_divisor
-
     def _build_optimizer(self):
-        self.optimizer = build_optimizer(self.args.optimiser, self._current_lr())
+        """Engine-global or drawer-specific optimizer (pixray.py:520-555)."""
+        drawer_opt = self.drawer.get_opts(self.args, 1.0)
+        if drawer_opt is not None:
+            self.optimizer = drawer_opt
+        else:
+            drawer_lr = getattr(self.drawer, "learning_rate", None)
+            base = drawer_lr if drawer_lr is not None else self.args.learning_rate
+            self.optimizer = build_optimizer(self.args.optimiser, base)
         self.opt_state = self.optimizer.init(self.z)
+        self.lr_scale = 1.0 / self.tracker.drop_divisor
 
     def drop_learning_rate(self):
-        self.opt_state = set_learning_rate(self.opt_state, self._current_lr())
+        """Reference semantics: fresh optimizer state at the dropped LR
+        (rebuild_optimisers is called anew, pixray.py:1511)."""
+        self.opt_state = self.optimizer.init(self.z)
+        self.lr_scale = 1.0 / self.tracker.drop_divisor
 
     # ------------------------------------------------------------------ rendering
     def synth_image(self, iteration=None) -> Image.Image:
@@ -351,7 +357,7 @@ class Engine:
             self.key, k_step = jax.random.split(self.key)
             anim_index = 0 if self.cur_anim_index is None else self.cur_anim_index
             self.z, self.opt_state, total, values, img = self._step(
-                self.z, self.opt_state, k_step, cur_it, anim_index, self.refs
+                self.z, self.opt_state, k_step, cur_it, anim_index, self.lr_scale, self.refs
             )
             self.last_loss_values = values
             self.last_image = img

@@ -252,7 +252,7 @@ def build_step(cfg: StepConfig, optimizer, mesh=None, shard_cutouts=False):
     loss_fn = build_loss_fn(cfg, names_sink)
     value_grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def step(z, opt_state, key, iteration, anim_index, refs):
+    def step(z, opt_state, key, iteration, anim_index, lr_scale, refs):
         keys = jax.random.split(key, cfg.batches)
         # metrics come from the FIRST batch (reference checkin reads batch 0,
         # pixray.py:1466-1479); gradients accumulate over all batches
@@ -264,6 +264,9 @@ def build_step(cfg: StepConfig, optimizer, mesh=None, shard_cutouts=False):
             grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, g)
 
         updates, opt_state = optimizer.update(grads_acc, opt_state, z)
+        # LR-drop schedule: uniform scale over all param groups (reference divides
+        # every group's lr by 10**num_drops, pixray.py:520-555)
+        updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
         z = optax.apply_updates(z, updates)
         z = cfg.drawer.clip_params(z)
         return z, opt_state, total0, vals0, img0

@@ -1,0 +1,156 @@
+"""Differentiable Bézier-stroke rasterizer — the diffvg-equivalent for stroked
+paths (clipdraw / line_sketch drawers).
+
+The reference rasterizes pydiffvg Paths with a C++/CUDA renderer
+(/root/reference/clipdrawer.py:128-138, linedrawer.py:156-170).  TPU-native
+design: each stroke's piecewise-cubic path is sampled into a polyline by ONE
+matmul against a precomputed Bernstein basis (trainable control points stay
+differentiable), the distance field to the polyline is computed in chunks with a
+running-min scan over segments (bounded memory), and coverage is an analytic
+1-pixel linear anti-aliasing ramp.  Compositing uses the associative 'over'
+operator reduced pairwise (log-depth) inside each chunk, sequentially across
+chunks (painter order).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bezier_basis(segment_counts, max_segments: int, samples_per_segment: int = 8):
+    """Bernstein sampling basis for piecewise-cubic paths.
+
+    segment_counts: (N,) ints in [1, max_segments].  Control-point layout is the
+    pydiffvg Path convention: 1 + 3*s points for s segments.  Strokes with fewer
+    than max_segments segments repeat their endpoint (degenerate tail segments do
+    not affect distance fields).  Returns (N, P, V) with P = max_segments *
+    samples_per_segment + 1, V = 1 + 3*max_segments.
+    """
+    n = len(segment_counts)
+    v = 1 + 3 * max_segments
+    p = max_segments * samples_per_segment + 1
+    basis = np.zeros((n, p, v), dtype=np.float32)
+    for i, segs in enumerate(segment_counts):
+        ts = np.linspace(0.0, 1.0, p)
+        for j, t in enumerate(ts):
+            # position along this stroke's own s segments
+            u = t * segs
+            k = min(int(u), segs - 1)
+            lu = u - k
+            c0, c1, c2, c3 = 3 * k, 3 * k + 1, 3 * k + 2, 3 * k + 3
+            b = np.array(
+                [(1 - lu) ** 3, 3 * lu * (1 - lu) ** 2, 3 * lu**2 * (1 - lu), lu**3]
+            )
+            basis[i, j, c0] += b[0]
+            basis[i, j, c1] += b[1]
+            basis[i, j, c2] += b[2]
+            basis[i, j, c3] += b[3]
+    return jnp.asarray(basis)
+
+
+def _point_segment_dist2(px, py, ax, ay, bx, by):
+    """Squared distance from pixel grid (H, W) to one segment (scalars)."""
+    abx, aby = bx - ax, by - ay
+    ab2 = abx * abx + aby * aby + 1e-8
+    t = ((px - ax) * abx + (py - ay) * aby) / ab2
+    t = jnp.clip(t, 0.0, 1.0)
+    cx = ax + t * abx
+    cy = ay + t * aby
+    return (px - cx) ** 2 + (py - cy) ** 2
+
+
+def stroke_coverage(samples, width, h: int, w: int):
+    """Coverage field of one stroke. samples: (P, 2) polyline; width scalar.
+
+    Running-min over segments keeps memory at one (H, W) buffer.
+    """
+    ys, xs = jnp.meshgrid(
+        jnp.arange(h, dtype=samples.dtype) + 0.5,
+        jnp.arange(w, dtype=samples.dtype) + 0.5,
+        indexing="ij",
+    )
+    p = samples.shape[0]
+
+    def body(k, d2min):
+        a = samples[k]
+        b = samples[k + 1]
+        d2 = _point_segment_dist2(xs, ys, a[0], a[1], b[0], b[1])
+        return jnp.minimum(d2min, d2)
+
+    d2 = jax.lax.fori_loop(0, p - 1, body, jnp.full((h, w), 1e10, samples.dtype))
+    dist = jnp.sqrt(d2 + 1e-12)
+    # linear 1px anti-aliasing ramp around the stroke boundary
+    return jnp.clip(width / 2.0 + 0.5 - dist, 0.0, 1.0)
+
+
+def _over(top, bottom):
+    """Associative premultiplied 'over': layers are (..., 4) premultiplied RGBA."""
+    a_top = top[..., 3:4]
+    return top + (1.0 - a_top) * bottom
+
+
+def _reduce_over(layers):
+    """(C, H, W, 4) premultiplied layers, painter order (0 = bottom) → (H, W, 4)."""
+    while layers.shape[0] > 1:
+        n = layers.shape[0]
+        if n % 2 == 1:
+            layers = jnp.concatenate(
+                [layers, jnp.zeros_like(layers[:1])], axis=0
+            )
+            n += 1
+        bottom = layers[0::2]
+        top = layers[1::2]
+        layers = _over(top, bottom)
+    return layers[0]
+
+
+def render_strokes(points, widths, colors, basis, h: int, w: int, background,
+                   chunk: int = 16):
+    """Render N strokes over a background.
+
+    points: (N, V, 2) control points (canvas px); widths: (N,); colors: (N, 4);
+    basis: (N, P, V); background: (H, W, 4) straight-alpha RGBA or (H, W, 3).
+    Returns (H, W, 4) straight-alpha canvas.
+    """
+    n = points.shape[0]
+    samples = jnp.einsum("npv,nvd->npd", basis, points)  # (N, P, 2)
+
+    if background.shape[-1] == 3:
+        background = jnp.concatenate(
+            [background, jnp.ones(background.shape[:2] + (1,), background.dtype)], axis=-1
+        )
+    # premultiply
+    canvas = jnp.concatenate(
+        [background[..., :3] * background[..., 3:4], background[..., 3:4]], axis=-1
+    )
+
+    pad = (-n) % chunk
+    if pad:
+        samples = jnp.concatenate([samples, jnp.zeros((pad,) + samples.shape[1:])], 0)
+        widths = jnp.concatenate([widths, jnp.zeros((pad,))], 0)
+        colors = jnp.concatenate([colors, jnp.zeros((pad, 4))], 0)
+    num_chunks = (n + pad) // chunk
+
+    samples_c = samples.reshape(num_chunks, chunk, *samples.shape[1:])
+    widths_c = widths.reshape(num_chunks, chunk)
+    colors_c = colors.reshape(num_chunks, chunk, 4)
+
+    def chunk_layer(s, wd, col):
+        cov = stroke_coverage(s, wd, h, w)  # (H, W)
+        a = cov * col[3]
+        rgb = col[:3][None, None, :] * a[..., None]
+        return jnp.concatenate([rgb, a[..., None]], axis=-1)
+
+    def body(canvas, args):
+        s, wd, col = args
+        layers = jax.vmap(chunk_layer)(s, wd, col)  # (chunk, H, W, 4) premult
+        merged = _reduce_over(layers)
+        return _over(merged, canvas), None
+
+    canvas, _ = jax.lax.scan(body, canvas, (samples_c, widths_c, colors_c))
+
+    alpha = canvas[..., 3:4]
+    rgb = canvas[..., :3] / jnp.maximum(alpha, 1e-6)
+    return jnp.concatenate([rgb, alpha], axis=-1)

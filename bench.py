@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark: optimizer steps/sec on the flagship config.
+
+Config #1 from BASELINE.json: pixel drawer + CLIP ViT-B/32, prompt "sunrise",
+80x45 grid (384x216 canvas), 64 cutouts — the north-star configuration
+("optimizer steps/sec at 64 cutouts").
+
+The reference publishes no numbers (BASELINE.md); ``REF_BASELINE_STEPS_PER_SEC``
+is a documented analytic estimate of the torch reference on an A100 for this
+config: ~850 GFLOP of ViT-B/32 fwd+bwd per step at small batch plus per-cutout
+kornia augmentation chains and Python dispatch ⇒ ≈8 steps/s.  vs_baseline is
+measured_steps_per_sec / that estimate (>1.0 = faster than the estimated
+reference; the BASELINE.json north-star asks for ≥20x).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+REF_BASELINE_STEPS_PER_SEC = 8.0  # documented A100 reference estimate (see above)
+
+WARMUP_STEPS = 3
+TIMED_STEPS = 30
+
+
+def main():
+    from pixray_tpu.config import apply_settings
+    from pixray_tpu.engine.core import Engine
+
+    settings = apply_settings(
+        dict(
+            drawer="pixel",
+            prompts="sunrise",
+            clip_models="ViT-B/32",
+            size=[384, 216],  # -> 80x45 pixel grid (widescreen default)
+            num_cuts=64,
+            batches=1,
+            iterations=WARMUP_STEPS + TIMED_STEPS + 8,
+            save_every=100000,
+            display_every=100000,
+            init_noise=None,
+            vector_prompts="none",
+            seed=1,
+            outdir="",
+            save_intermediates=False,
+            learning_rate_drops=[],
+        ),
+        apply_side_effects=False,
+    )
+    engine = Engine(settings)
+
+    for it in range(WARMUP_STEPS):
+        engine.train(it)
+
+    t0 = time.perf_counter()
+    for it in range(WARMUP_STEPS, WARMUP_STEPS + TIMED_STEPS):
+        engine.train(it)
+    elapsed = time.perf_counter() - t0
+
+    steps_per_sec = TIMED_STEPS / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "pixel_vitb32_64cuts_steps_per_sec",
+                "value": round(steps_per_sec, 3),
+                "unit": "steps/sec",
+                "vs_baseline": round(steps_per_sec / REF_BASELINE_STEPS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

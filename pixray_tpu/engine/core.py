@@ -82,6 +82,22 @@ class Engine:
         # ---- precision
         dtype = jnp.bfloat16 if getattr(args, "precision", "bf16") == "bf16" else jnp.float32
 
+        # ---- device mesh (new capability; SURVEY.md §2.3)
+        from pixray_tpu.parallel.mesh import build_mesh, pad_cuts_for_mesh
+
+        self.mesh = None
+        if getattr(args, "shard_cutouts", True):
+            try:
+                self.mesh = build_mesh(getattr(args, "mesh_shape", "auto"))
+            except Exception as e:
+                print(f"mesh setup skipped: {e}")
+        if self.mesh is not None:
+            padded = pad_cuts_for_mesh(args.num_cuts, self.mesh)
+            if padded != args.num_cuts:
+                print(f"padding num_cuts {args.num_cuts} -> {padded} for the {self.mesh.shape} mesh")
+                args.num_cuts = padded
+            print(f"Using device mesh {dict(self.mesh.shape)} for cutout data-parallelism")
+
         # ---- perceptors (cached across sessions, pixray.py:633-640)
         self.perceptors = [get_clip_perceptor(name, dtype=dtype) for name in args.clip_models]
 
@@ -253,6 +269,7 @@ class Engine:
             image_label_weight=args.image_label_weight,
             image_prompt_shuffle=args.image_prompt_shuffle,
             args=args,
+            mesh=self.mesh,
         )
 
         # refs passed into every step call (weights/tables/targets)

@@ -32,6 +32,7 @@ from jax.flatten_util import ravel_pytree
 from pixray_tpu.engine import cutouts as C
 from pixray_tpu.engine.prompts import PromptTable, prompt_losses, single_prompt_loss
 from pixray_tpu.ops.grad import spherical_dist_loss
+from pixray_tpu.parallel.mesh import shard_cutout_batch
 
 
 @dataclass
@@ -72,6 +73,7 @@ class StepConfig:
     image_label_weight: float = 1.0
     image_prompt_shuffle: bool = False
     args: Any = None  # resolved settings namespace, for custom losses
+    mesh: Any = None  # jax.sharding.Mesh for cutout-batch data parallelism
 
 
 def build_loss_fn(cfg: StepConfig, names_sink: list | None = None):
@@ -129,6 +131,7 @@ def build_loss_fn(cfg: StepConfig, names_sink: list | None = None):
             )
 
             main = render(work, noise_key=k_noise, jitter_key=k_jit)
+            main = shard_cutout_batch(main, cfg.mesh)
             cur_cutouts[spec.cut_size] = main
             iii = spec.image_fn(refs["perceptors"][spec.name], main)
             embeds_last = iii
@@ -146,6 +149,7 @@ def build_loss_fn(cfg: StepConfig, names_sink: list | None = None):
             # spot prompts use the SAME transforms, masked working canvas
             if spec.spot_table.size:
                 spot_cuts = render(work * spec.spot_keep_on[..., None], noise_key=k_spot_n)
+                spot_cuts = shard_cutout_batch(spot_cuts, cfg.mesh)
                 iii_s = spec.image_fn(refs["perceptors"][spec.name], spot_cuts)
                 sl = prompt_losses(iii_s, spec.spot_table)
                 for i in range(spec.spot_table.size):

@@ -139,6 +139,9 @@ def setup_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     a("--mesh_shape", type=str, help="device mesh, e.g. '8' or '4,2' (data,model); 'auto' uses all devices", default="auto", dest="mesh_shape")
     a("--shard_cutouts", type=str2bool, help="shard the cutout batch across the mesh", default=True, dest="shard_cutouts")
     a("--precision", type=str, help="perceptor compute precision: bf16 or fp32", default="bf16", dest="precision")
+    a("--checkpoint_every", type=str, help="save a resumable session checkpoint every N iterations (0=off)", default=0, dest="checkpoint_every")
+    a("--resume_from", type=str, help="resume a session from a checkpoint file", default=None, dest="resume_from")
+    a("--profile_dir", type=str, help="write jax profiler traces here", default=None, dest="profile_dir")
     return parser
 
 
@@ -259,6 +262,7 @@ def process_args(parser, namespace=None, apply_side_effects=True, use_argv=False
     args.overlay_every = parse_unit(args.overlay_every, args.iterations, "overlay_every", "i")
     args.display_every = parse_unit(args.display_every, args.iterations, "display_every", "i")
     args.save_every = parse_unit(args.save_every, args.iterations, "save_every", "i")
+    args.checkpoint_every = parse_unit(args.checkpoint_every, args.iterations, "checkpoint_every", "i")
 
     if args.image_prompts:
         args.image_prompts = real_glob(args.image_prompts)

@@ -301,6 +301,12 @@ class Engine:
         self.anim_cur_zs: list = []
         self.last_loss_values = None
 
+        if getattr(args, "resume_from", None):
+            from pixray_tpu.engine.checkpoint import restore_session
+
+            it = restore_session(args.resume_from, self)
+            print(f"Resumed session from {args.resume_from} at iteration {it}")
+
         print("Optimising using:", args.optimiser)
         if args.prompts:
             print("Using text prompts:", args.prompts)
@@ -392,6 +398,11 @@ class Engine:
             if cur_it % args.save_every == 0:
                 self.checkin(cur_it, values)
 
+            if getattr(args, "checkpoint_every", 0) and cur_it and cur_it % args.checkpoint_every == 0:
+                from pixray_tpu.engine.checkpoint import save_session
+
+                save_session(os.path.join(args.outdir, "session.ckpt"), self)
+
             if args.make_video:
                 video_folder = os.path.join(args.outdir, "video")
                 os.makedirs(video_folder, exist_ok=True)
@@ -453,15 +464,19 @@ class Engine:
         if args.animation_dir is not None:
             return self._run_animation()
 
+        from pixray_tpu.engine.profiling import device_trace
+
+        profile_dir = getattr(args, "profile_dir", None) if self.cur_iteration == 0 else None
         try:
-            keep_going = True
-            while keep_going:
-                keep_going = self.train(self.cur_iteration)
-                if self.cur_iteration == args.iterations:
-                    break
-                self.cur_iteration += 1
-                if keep_going and return_display and self.cur_iteration % args.display_every == 0:
-                    return False
+            with device_trace(profile_dir, "(start of run)"):
+                keep_going = True
+                while keep_going:
+                    keep_going = self.train(self.cur_iteration)
+                    if self.cur_iteration == args.iterations:
+                        break
+                    self.cur_iteration += 1
+                    if keep_going and return_display and self.cur_iteration % args.display_every == 0:
+                        return False
         except KeyboardInterrupt:
             pass
 

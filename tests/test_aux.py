@@ -1,0 +1,185 @@
+"""Auxiliary subsystem tests: checkpoint/resume, serving predictors, vectorize,
+mesh construction, provenance, output encoders."""
+
+import json
+import os
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import pixray_tpu as pixray
+from tests.test_e2e import tiny_settings
+
+
+class TestCheckpointResume:
+    def test_roundtrip(self, tmp_path):
+        from pixray_tpu.engine.checkpoint import restore_session, save_session
+
+        pixray.reset_settings()
+        pixray.add_settings(**tiny_settings(tmp_path, iterations=6))
+        settings = pixray.apply_settings()
+        engine = pixray.do_init(settings)
+        engine.train(0)
+        engine.train(1)
+        engine.cur_iteration = 2
+        ckpt = str(tmp_path / "sess.ckpt")
+        save_session(ckpt, engine)
+        z_saved = np.asarray(engine.z).copy()
+
+        # fresh engine, same config → restore
+        pixray.reset_settings()
+        pixray.add_settings(**tiny_settings(tmp_path, iterations=6))
+        settings2 = pixray.apply_settings()
+        engine2 = pixray.do_init(settings2)
+        it = restore_session(ckpt, engine2)
+        assert it == 2
+        np.testing.assert_array_equal(np.asarray(engine2.z), z_saved)
+
+    def test_checkpoint_every_setting(self, tmp_path):
+        pixray.reset_settings()
+        pixray.add_settings(**tiny_settings(tmp_path, checkpoint_every="2i", iterations=4))
+        settings = pixray.apply_settings()
+        assert settings.checkpoint_every == 2
+
+
+class TestServing:
+    def test_streaming_predictor(self, tmp_path, monkeypatch):
+        """PixrayApi product streams ≥2 partial results then completes."""
+        import pixray_tpu.serve.predictors as P
+
+        cogs = tmp_path / "cogs"
+        cogs.mkdir()
+        base = tiny_settings(tmp_path, iterations=4, display_every=2, save_every=2)
+        import yaml
+
+        (cogs / "pixrayapi.yaml").write_text(yaml.dump(base))
+        monkeypatch.setattr(P, "COGS_DIR", str(cogs))
+
+        predictor = P.PixrayApi()
+        predictor.setup()
+        results = list(predictor.predict(settings="\n"))
+        assert len(results) >= 2
+        for p in results:
+            assert os.path.exists(p)
+            Image.open(p)  # decodable
+
+    def test_products_registry(self):
+        from pixray_tpu.serve.predictors import PRODUCTS
+
+        assert set(PRODUCTS) >= {
+            "text2image", "pixray_vqgan", "pixray_pixel", "text2pixel",
+            "pixrayraw", "pixrayapi", "tiler", "pixray_vdiff", "8bidg", "genesis",
+        }
+
+    def test_cogs_yamls_parse(self):
+        import yaml
+
+        cogs_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), "cogs")
+        names = [n for n in os.listdir(cogs_dir) if n.endswith(".yaml")]
+        assert len(names) >= 12
+        for name in names:
+            with open(os.path.join(cogs_dir, name)) as f:
+                assert isinstance(yaml.safe_load(f), dict)
+
+
+class TestVectorize:
+    def test_avg_diff(self, tmp_path):
+        from pixray_tpu.tools.vectorize import main
+
+        rng = np.random.default_rng(0)
+        t1 = {"TinyTest": rng.random((4, 32)).tolist()}
+        t2 = {"TinyTest": (rng.random((4, 32)) + 1.0).tolist()}
+        f1, f2 = tmp_path / "a.json", tmp_path / "b.json"
+        f1.write_text(json.dumps(t1))
+        f2.write_text(json.dumps(t2))
+        out = tmp_path / "diff.json"
+        main(["--avg-diff", f"{f1},{f2}", "--outfile", str(out)])
+        result = json.loads(out.read_text())
+        vec = np.array(result["TinyTest"])
+        assert vec.shape == (1, 32)
+        expected = np.mean(t2["TinyTest"], axis=0) - np.mean(t1["TinyTest"], axis=0)
+        np.testing.assert_allclose(vec[0], expected, rtol=1e-6)
+
+    def test_svm_diff(self, tmp_path):
+        from pixray_tpu.tools.vectorize import main
+
+        rng = np.random.default_rng(0)
+        t1 = {"m": (rng.random((8, 16)) - 2).tolist()}
+        t2 = {"m": (rng.random((8, 16)) + 2).tolist()}
+        f1, f2 = tmp_path / "a.json", tmp_path / "b.json"
+        f1.write_text(json.dumps(t1))
+        f2.write_text(json.dumps(t2))
+        out = tmp_path / "svm.json"
+        main(["--svm-diff", f"{f1},{f2}", "--outfile", str(out)])
+        vec = np.array(json.loads(out.read_text())["m"])
+        assert vec.shape == (1, 16)
+        assert np.isfinite(vec).all()
+
+    def test_spew_vectors(self, tmp_path):
+        from pixray_tpu.tools import vectorize as V
+
+        img = tmp_path / "img1.png"
+        Image.new("RGB", (40, 40), (200, 10, 10)).save(img)
+        args = SimpleNamespace(models="TinyTest", inputs=str(tmp_path / "*.png"),
+                               outfile=str(tmp_path / "vecs.json"), avg_diff=None, svm_diff=None)
+        V.init(args)
+        V.spew_vectors(args, args.inputs, args.outfile)
+        table = json.loads((tmp_path / "vecs.json").read_text())
+        assert np.array(table["TinyTest"]).shape == (1, 32)
+
+
+class TestMesh:
+    def test_build_mesh_cpu(self):
+        import jax
+
+        from pixray_tpu.parallel.mesh import build_mesh, pad_cuts_for_mesh
+
+        devices = jax.devices("cpu")
+        if len(devices) < 8:
+            pytest.skip("needs 8 virtual cpu devices")
+        mesh = build_mesh("8", devices=devices)
+        assert dict(mesh.shape) == {"data": 8, "model": 1}
+        assert pad_cuts_for_mesh(30, mesh) == 32
+
+    def test_single_device_none(self):
+        import jax
+
+        from pixray_tpu.parallel.mesh import build_mesh
+
+        assert build_mesh("1", devices=jax.devices("cpu")[:1]) is None
+
+
+class TestVideoEncoders:
+    def test_gif_assembly(self, tmp_path):
+        from pixray_tpu.io.output import make_gif
+
+        anim = tmp_path / "anim"
+        anim.mkdir()
+        for i in range(3):
+            Image.new("RGB", (16, 16), (i * 40, 0, 0)).save(anim / f"f{i}.png")
+        gif = make_gif(str(anim))
+        assert os.path.exists(gif)
+        assert Image.open(gif).is_animated
+
+    def test_mp4_or_gif_fallback(self, tmp_path):
+        from pixray_tpu.io.output import encode_frames_to_mp4
+
+        frames = [Image.new("RGB", (16, 16), (0, g, 0)) for g in (0, 100, 200)]
+        out = str(tmp_path / "video.mp4")
+        encode_frames_to_mp4(frames, out, fps=10)
+        assert os.path.exists(out) or os.path.exists(str(tmp_path / "video.gif"))
+
+
+class TestProfiling:
+    def test_phase_timer(self):
+        from pixray_tpu.engine.profiling import PhaseTimer
+
+        t = PhaseTimer()
+        with t.phase("a"):
+            pass
+        with t.phase("a"):
+            pass
+        assert t.counts["a"] == 2
+        assert "a:" in t.report()

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pixray_tpu.drawers.base import DrawingInterface
-from pixray_tpu.ops.cellrender import build_coverage_map, composite_cells
+from pixray_tpu.ops.cellrender import build_coverage_map, build_inverse_map, composite_cells
 from pixray_tpu.utils import map_number, str2bool
 
 SHIFT_PIXEL_TYPES = ["hex", "rectshift", "diamond"]
@@ -180,9 +180,12 @@ class PixelDrawer(DrawingInterface):
         self.polygons = polys
         self.num_cells = len(polys)
         indices, valid = build_coverage_map(polys, self.canvas_width, self.canvas_height)
+        cell_slots, cell_valid = build_inverse_map(indices, valid, self.num_cells)
         self.model_params = {
             "coverage_indices": jnp.asarray(indices),
             "coverage_valid": jnp.asarray(valid),
+            "cell_slots": jnp.asarray(cell_slots),
+            "cell_slot_valid": jnp.asarray(cell_valid),
         }
         self._geometry_built = True
 
@@ -248,6 +251,7 @@ class PixelDrawer(DrawingInterface):
             model_params["coverage_valid"],
             self.canvas_height,
             self.canvas_width,
+            inverse_map=(model_params["cell_slots"], model_params["cell_slot_valid"]),
         )
 
     # ------------------------------------------------------------------- export

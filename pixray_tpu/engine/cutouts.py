@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from pixray_tpu.ops import warp as W
 from pixray_tpu.ops.color import random_color_jitter
 from pixray_tpu.ops.pool import adaptive_avg_pool, adaptive_max_pool
+from pixray_tpu.ops.warp_batch import warp_batch
 
 NOISE_FAC = 0.1
 ZOOM_FRACTION = 0.6
@@ -130,21 +131,21 @@ def render_cutouts(
     cached path (spot/image-prompt cutouts) skips jitter, like the reference.
     """
     zoom_ms, wide_ms = transforms
-    out_hw = (cut_size, cut_size)
-
-    def warp_zoom(m):
-        reflected = W.warp_perspective(work, m, out_hw, padding_mode="reflection")
-        bordered = W.warp_perspective(work, m, out_hw, padding_mode="border")
-        return jnp.where(reflect_padding, reflected, bordered)
-
-    def warp_wide(m):
-        return W.warp_perspective(work, m, out_hw, padding_mode="fill", fill_value=fill_color)
 
     parts = []
     if zoom_ms.shape[0]:
-        parts.append(jax.vmap(warp_zoom)(zoom_ms))
+        # iteration-parity padding alternation via lax.cond (only one branch runs)
+        zoom = jax.lax.cond(
+            reflect_padding,
+            lambda w: warp_batch(w, zoom_ms, cut_size, padding_mode="reflection"),
+            lambda w: warp_batch(w, zoom_ms, cut_size, padding_mode="border"),
+            work,
+        )
+        parts.append(zoom)
     if wide_ms.shape[0]:
-        parts.append(jax.vmap(warp_wide)(wide_ms))
+        parts.append(
+            warp_batch(work, wide_ms, cut_size, padding_mode="fill", fill_value=fill_color)
+        )
     batch = jnp.concatenate(parts, axis=0)
 
     if jitter_key is not None:

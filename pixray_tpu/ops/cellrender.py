@@ -39,13 +39,74 @@ def _points_in_polygon(pts, poly):
     return inside
 
 
+_native_lib = None
+_native_checked = False
+
+
+def _load_native():
+    """ctypes binding to the C++ rasterizer (native/librasterizer.so); builds it
+    on first use when g++ is available.  Returns None when unavailable."""
+    global _native_lib, _native_checked
+    if _native_checked:
+        return _native_lib
+    _native_checked = True
+    import ctypes
+    import os
+    import subprocess
+
+    native_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native"
+    )
+    so_path = os.path.join(native_dir, "librasterizer.so")
+    if not os.path.exists(so_path) and os.path.exists(os.path.join(native_dir, "Makefile")):
+        try:
+            subprocess.run(["make", "-C", native_dir], check=True, capture_output=True)
+        except Exception:
+            return None
+    if not os.path.exists(so_path):
+        return None
+    lib = ctypes.CDLL(so_path)
+    lib.build_coverage_map.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
+    _native_lib = lib
+    return lib
+
+
+def _build_coverage_map_native(polygons, canvas_width, canvas_height, lib):
+    import ctypes
+
+    hs, ws = canvas_height * SS, canvas_width * SS
+    vertices = np.concatenate([np.asarray(p, np.float64).reshape(-1, 2) for p in polygons])
+    offsets = np.zeros(len(polygons) + 1, np.int64)
+    np.cumsum([len(p) for p in polygons], out=offsets[1:])
+    indices = np.zeros((hs, ws, DEPTH), np.int32)
+    counts = np.zeros((hs, ws), np.int32)
+    lib.build_coverage_map(
+        vertices.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(polygons), canvas_width, canvas_height, SS, DEPTH,
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    valid = np.arange(DEPTH)[None, None, :] < np.minimum(counts, DEPTH)[..., None]
+    return indices, valid
+
+
 def build_coverage_map(polygons, canvas_width: int, canvas_height: int):
     """Precompute the supersampled painter-order coverage map.
 
     polygons: list of (V, 2) float arrays in canvas pixel coordinates, painter
     (draw) order.  Returns (indices, valid): both (H*SS, W*SS, DEPTH) int32/bool,
-    where indices[..., 0] is the TOPMOST covering cell.
+    where indices[..., 0] is the TOPMOST covering cell.  Uses the native C++
+    rasterizer when available (same algorithm; see native/rasterizer.cpp).
     """
+    lib = _load_native()
+    if lib is not None:
+        return _build_coverage_map_native(polygons, canvas_width, canvas_height, lib)
     hs, ws = canvas_height * SS, canvas_width * SS
     # subsample positions at pixel-interior offsets (0.25, 0.75 for SS=2)
     offs = (np.arange(SS) + 0.5) / SS
@@ -79,15 +140,83 @@ def build_coverage_map(polygons, canvas_width: int, canvas_height: int):
     return indices, valid_depth
 
 
-def composite_cells(colors, indices, valid, canvas_height: int, canvas_width: int):
+def build_inverse_map(indices, valid, num_cells: int):
+    """Static inverse of the coverage map for a scatter-free backward pass.
+
+    Returns (cell_slots, cell_slot_valid): for each cell, the flat indices of the
+    (subsample, depth) slots it occupies, padded to the max occupancy.  Because
+    the geometry never changes, the adjoint of ``colors[indices]`` becomes a
+    GATHER of the incoming cotangent at these precomputed slots (TPU scatters are
+    the slowest primitive; this removes the last one from the pixel drawer).
+    """
+    flat_idx = indices.reshape(-1)
+    flat_valid = valid.reshape(-1)
+    slot_ids = np.arange(flat_idx.size, dtype=np.int64)
+
+    # sort slots by cell id (invalid slots pushed to a sentinel bucket)
+    keyed = np.where(flat_valid, flat_idx, num_cells)
+    order = np.argsort(keyed, kind="stable")
+    sorted_cells = keyed[order]
+    sorted_slots = slot_ids[order]
+
+    counts = np.bincount(sorted_cells, minlength=num_cells + 1)[:num_cells]
+    max_occ = int(counts.max()) if counts.size else 1
+    starts = np.zeros(num_cells, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+
+    cell_slots = np.zeros((num_cells, max_occ), dtype=np.int32)
+    cell_valid = np.arange(max_occ)[None, :] < counts[:, None]
+    for_cell = np.repeat(np.arange(num_cells), counts)
+    pos_in_cell = np.arange(for_cell.size) - np.repeat(starts, counts)
+    cell_slots[for_cell, pos_in_cell] = sorted_slots[: for_cell.size]
+    return cell_slots, cell_valid
+
+
+def _take_cells_fwd(colors, args):
+    return _take_cells(colors, args), args
+
+
+def _take_cells_bwd(res, g):
+    import jax.numpy as jnp
+
+    _indices, cell_slots, cell_valid = res
+    c = g.shape[-1]
+    flat_g = g.reshape(-1, c)  # one row per (subsample, depth) slot
+    per_cell = flat_g[cell_slots]  # (num_cells, max_occ, C) — gather, no scatter
+    per_cell = jnp.where(cell_valid[..., None], per_cell, 0.0)
+    return jnp.sum(per_cell, axis=1), None
+
+
+def _take_cells_impl(colors, args):
+    indices, _slots, _valid = args
+    return colors[indices]
+
+
+try:  # define as custom_vjp once
+    import jax as _jax
+
+    _take_cells = _jax.custom_vjp(_take_cells_impl)
+    _take_cells.defvjp(_take_cells_fwd, _take_cells_bwd)
+except ImportError:  # pragma: no cover
+    _take_cells = _take_cells_impl
+
+
+def composite_cells(colors, indices, valid, canvas_height: int, canvas_width: int,
+                    inverse_map=None):
     """Differentiable render: per-cell RGBA → (H, W, 4) canvas.
 
     colors: (num_cells, 4) in [0,1]; indices/valid from build_coverage_map.
     Back-to-front 'over' compositing per subsample, then box-filter downsample.
+    When ``inverse_map`` (from build_inverse_map) is given, the color-gather's
+    backward pass is a precomputed gather instead of a TPU scatter.
     """
     import jax.numpy as jnp
 
-    gathered = colors[indices]  # (hs, ws, DEPTH, 4)
+    if inverse_map is not None:
+        cell_slots, cell_valid = inverse_map
+        gathered = _take_cells(colors, (indices, cell_slots, cell_valid))
+    else:
+        gathered = colors[indices]  # (hs, ws, DEPTH, 4)
     valid = valid[..., None]
 
     rgb = jnp.zeros(gathered.shape[:2] + (3,), dtype=colors.dtype)

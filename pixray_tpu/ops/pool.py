@@ -45,19 +45,27 @@ def _gather_windows(x, out_h: int, out_w: int):
     return wins, jnp.asarray(mask)
 
 
+def _avg_pool_matrix(in_size: int, out_size: int):
+    """(out, in) row-stochastic matrix realizing torch adaptive average pooling.
+
+    Average pooling is a fixed linear map — expressing it as a dense matmul puts
+    both the forward and the adjoint on the MXU (no gathers, no scatters)."""
+    starts, ends = _window_bounds(in_size, out_size)
+    cols = np.arange(in_size)
+    member = (cols[None, :] >= starts[:, None]) & (cols[None, :] < ends[:, None])
+    mat = member.astype(np.float32)
+    return mat / mat.sum(axis=1, keepdims=True)
+
+
 @partial(jax.jit, static_argnums=(1, 2))
 def adaptive_avg_pool(x, out_h: int, out_w: int):
-    """Torch-style adaptive average pool. x: (..., H, W, C)."""
-    def one(img):
-        wins, mask = _gather_windows(img, out_h, out_w)
-        total = jnp.sum(jnp.where(mask, wins, 0.0), axis=(1, 3))
-        count = jnp.sum(mask, axis=(1, 3)).astype(x.dtype)
-        return total / count
-
-    batch_shape = x.shape[:-3]
-    flat = x.reshape((-1,) + x.shape[-3:])
-    out = jax.vmap(one)(flat)
-    return out.reshape(batch_shape + out.shape[1:])
+    """Torch-style adaptive average pool as two matmuls. x: (..., H, W, C)."""
+    h, w = x.shape[-3], x.shape[-2]
+    row_mat = jnp.asarray(_avg_pool_matrix(h, out_h))  # (out_h, H)
+    col_mat = jnp.asarray(_avg_pool_matrix(w, out_w))  # (out_w, W)
+    y = jnp.einsum("oh,...hwc->...owc", row_mat, x, preferred_element_type=jnp.float32)
+    y = jnp.einsum("pw,...owc->...opc", col_mat, y, preferred_element_type=jnp.float32)
+    return y.astype(x.dtype)
 
 
 @partial(jax.jit, static_argnums=(1, 2))

@@ -1,0 +1,123 @@
+"""Batched homography warp with a scatter-free (MXU matmul) adjoint.
+
+Autodiff of a gather-based bilinear warp transposes to a scatter-add, which is
+the slowest primitive on TPU — profiling showed it dominating the whole
+optimization step (~450 ms of a ~580 ms step at 64 cutouts).  ``warp_batch``
+keeps the fast vmapped gather FORWARD and installs a custom VJP whose backward
+computes the EXACT adjoint as dense contractions against bilinear hat weights:
+
+    out[k]     = Σ_{u,v} A[k,u] · B[k,v] · work[u,v]     (A, B are 2-sparse hats)
+    dwork[u,v] = Σ_k     A[k,u] · B[k,v] · g[k]          (two einsums — MXU work)
+
+Hats are rebuilt from the (padding-transformed) sample coordinates inside the
+backward, so no large residuals are saved; the per-cutout contraction runs under
+lax.scan with bounded memory (~130 MB transient per cutout at 224² × 597-wide).
+
+Padding semantics match ops/warp.py: 'reflection'/'border' transform coordinates
+into range (making the hat adjoint exact); 'zeros'/'fill' taps outside the grid
+vanish because the hats have no support there.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pixray_tpu.ops.warp import _reflect_coord, bilinear_sample
+
+
+def _source_coords(matrix, out_hw, dtype):
+    out_h, out_w = out_hw
+    inv = jnp.linalg.inv(matrix)
+    ys, xs = jnp.meshgrid(
+        jnp.arange(out_h, dtype=dtype), jnp.arange(out_w, dtype=dtype), indexing="ij"
+    )
+    dst = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)
+    src = dst @ inv.T
+    sx = src[..., 0] / (src[..., 2] + 1e-8)
+    sy = src[..., 1] / (src[..., 2] + 1e-8)
+    return sx, sy
+
+
+def _transform_coords(sx, sy, h, w, padding_mode):
+    if padding_mode == "reflection":
+        return _reflect_coord(sx, w), _reflect_coord(sy, h)
+    if padding_mode == "border":
+        return jnp.clip(sx, 0.0, w - 1.0), jnp.clip(sy, 0.0, h - 1.0)
+    return sx, sy  # zeros / fill: out-of-grid taps vanish in both passes
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _warp_gather(work, matrices, out_hw, padding_mode):
+    """(H, W, C), (N, 3, 3) → (N, out_h, out_w, C). Grads flow to ``work`` only."""
+    h, w = work.shape[0], work.shape[1]
+
+    def one(m):
+        sx, sy = _source_coords(m, out_hw, work.dtype)
+        tx, ty = _transform_coords(sx, sy, h, w, padding_mode)
+        return bilinear_sample(work, tx, ty, padding_mode="zeros")
+
+    return jax.vmap(one)(matrices)
+
+
+def _warp_gather_fwd(work, matrices, out_hw, padding_mode):
+    out = _warp_gather(work, matrices, out_hw, padding_mode)
+    # the work canvas is small (<1 MB); saving it carries shape+dtype for bwd
+    return out, (jax.lax.stop_gradient(work), matrices)
+
+
+def _warp_gather_bwd(out_hw, padding_mode, res, g):
+    work_ref, matrices = res
+    (h, w, c), dtype = work_ref.shape, work_ref.dtype
+    u_iota = jnp.arange(h, dtype=dtype)
+    v_iota = jnp.arange(w, dtype=dtype)
+    k = out_hw[0] * out_hw[1]
+
+    def one_cutout(dwork, args):
+        m, g_n = args  # g_n: (out_h, out_w, C)
+        sx, sy = _source_coords(m, out_hw, dtype)
+        tx, ty = _transform_coords(sx, sy, h, w, padding_mode)
+        txf = tx.reshape(k)
+        tyf = ty.reshape(k)
+        gf = g_n.reshape(k, c).astype(dtype)
+        # bilinear hat weights: 2 nonzeros per row, built by broadcast (no scatter)
+        a = jnp.maximum(0.0, 1.0 - jnp.abs(tyf[:, None] - u_iota[None, :]))  # (K, H)
+        b = jnp.maximum(0.0, 1.0 - jnp.abs(txf[:, None] - v_iota[None, :]))  # (K, W)
+        # dwork[u,v,c] = Σ_k a[k,u] b[k,v] g[k,c]
+        ag = jnp.einsum("ku,kc->ukc", a, gf, preferred_element_type=jnp.float32)
+        contrib = jnp.einsum("ukc,kv->uvc", ag, b, preferred_element_type=jnp.float32)
+        return dwork + contrib.astype(dtype), None
+
+    dwork0 = jnp.zeros((h, w, c), dtype)
+    dwork, _ = jax.lax.scan(one_cutout, dwork0, (matrices, g))
+    return dwork, None
+
+
+_warp_gather.defvjp(_warp_gather_fwd, _warp_gather_bwd)
+
+
+def warp_batch(work, matrices, out_size: int, padding_mode="zeros", fill_value=0.0):
+    """Warp a bank of N homographies out of one canvas with a matmul adjoint.
+
+    work: (H, W, C); matrices: (N, 3, 3) src→dst.  Returns (N, S, S, C).
+    'fill' blends toward fill_value outside the source extent, matching the
+    ops/warp.py fill path (coverage from sampling a constant image).
+    """
+    out_hw = (out_size, out_size)
+    out = _warp_gather(work, matrices, out_hw, padding_mode)
+
+    if padding_mode == "fill":
+        h, w = work.shape[0], work.shape[1]
+
+        def inside_mask(m):
+            sx, sy = _source_coords(m, out_hw, work.dtype)
+            return (sx >= -0.5) & (sx <= w - 0.5) & (sy >= -0.5) & (sy <= h - 0.5)
+
+        insides = jax.vmap(inside_mask)(matrices)[..., None]
+        ones = jnp.ones(work.shape[:2] + (1,), work.dtype)
+        cover = jax.lax.stop_gradient(_warp_gather(ones, matrices, out_hw, padding_mode))
+        fill = jnp.asarray(fill_value, work.dtype)
+        out = jnp.where(insides, out + (1.0 - cover) * fill, fill)
+    return out

@@ -1,0 +1,127 @@
+"""Op-level golden tests: adaptive pooling vs torch, warps, color jitter, grads."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pixray_tpu.ops.pool import adaptive_avg_pool, adaptive_max_pool
+
+KEY = jax.random.PRNGKey(0)
+
+
+class TestAdaptivePooling:
+    @pytest.mark.parametrize("in_hw,out_hw", [((216, 384), (224, 224)), ((300, 300), (64, 64)), ((50, 70), (224, 224))])
+    def test_matches_torch(self, in_hw, out_hw):
+        torch = pytest.importorskip("torch")
+
+        rng = np.random.default_rng(0)
+        img = rng.random((1, *in_hw, 3)).astype(np.float32)
+        t = torch.from_numpy(img.transpose(0, 3, 1, 2))
+
+        ours_avg = np.asarray(adaptive_avg_pool(jnp.asarray(img), *out_hw))
+        theirs_avg = torch.nn.functional.adaptive_avg_pool2d(t, out_hw).numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(ours_avg, theirs_avg, atol=2e-5)
+
+        ours_max = np.asarray(adaptive_max_pool(jnp.asarray(img), *out_hw))
+        theirs_max = torch.nn.functional.adaptive_max_pool2d(t, out_hw).numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(ours_max, theirs_max, atol=1e-6)
+
+    def test_avg_pool_gradient(self):
+        img = jnp.ones((20, 30, 3)) * 0.5
+        g = jax.grad(lambda x: jnp.sum(adaptive_avg_pool(x, 8, 8) ** 2))(img)
+        assert jnp.all(jnp.isfinite(g))
+        assert jnp.any(g != 0)
+
+
+class TestGradTricks:
+    def test_clamp_with_grad_inside(self):
+        from pixray_tpu.ops.grad import clamp_with_grad
+
+        g = jax.grad(lambda x: jnp.sum(clamp_with_grad(x, 0.0, 1.0)))(jnp.asarray([0.5, 0.2]))
+        np.testing.assert_allclose(np.asarray(g), [1.0, 1.0])
+
+    def test_clamp_with_grad_outside_blocks_outward(self):
+        from pixray_tpu.ops.grad import clamp_with_grad
+
+        # loss = -sum(clamp(x)): gradient wants to increase x; at x=1.5 (above the
+        # clamp) increasing is pushing further out → blocked
+        g = jax.grad(lambda x: -jnp.sum(clamp_with_grad(x, 0.0, 1.0)))(jnp.asarray([1.5]))
+        assert float(g[0]) == 0.0
+        # gradient pushing back IN is allowed
+        g2 = jax.grad(lambda x: jnp.sum(clamp_with_grad(x, 0.0, 1.0)))(jnp.asarray([1.5]))
+        assert float(g2[0]) == 1.0
+
+    def test_replace_grad(self):
+        from pixray_tpu.ops.grad import replace_grad
+
+        def f(a, b):
+            return jnp.sum(replace_grad(a, b) * 2.0)
+
+        ga = jax.grad(f, argnums=0)(jnp.ones(3), jnp.ones(3))
+        gb = jax.grad(f, argnums=1)(jnp.ones(3), jnp.ones(3))
+        assert jnp.all(ga == 0)
+        assert jnp.all(gb == 2.0)
+
+    def test_spherical_dist_matches_torch_formula(self):
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+
+        from pixray_tpu.ops.grad import spherical_dist_loss
+
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((4, 16)).astype(np.float32)
+        y = rng.standard_normal((4, 16)).astype(np.float32)
+        ours = np.asarray(spherical_dist_loss(jnp.asarray(x), jnp.asarray(y)))
+        tx, ty = F.normalize(torch.from_numpy(x), dim=-1), F.normalize(torch.from_numpy(y), dim=-1)
+        theirs = (tx - ty).norm(dim=-1).div(2).arcsin().pow(2).mul(2).numpy()
+        np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
+class TestColor:
+    def test_hsv_roundtrip(self):
+        from pixray_tpu.ops.color import hsv_to_rgb, rgb_to_hsv
+
+        rng = np.random.default_rng(0)
+        rgb = jnp.asarray(rng.random((32, 3)), jnp.float32)
+        back = hsv_to_rgb(rgb_to_hsv(rgb))
+        np.testing.assert_allclose(np.asarray(back), np.asarray(rgb), atol=1e-5)
+
+    def test_jitter_identity_at_zero(self):
+        from pixray_tpu.ops.color import adjust_hue_saturation
+
+        rgb = jnp.asarray(np.random.default_rng(0).random((8, 8, 3)), jnp.float32)
+        out = adjust_hue_saturation(rgb, 0.0, 1.0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(rgb), atol=1e-5)
+
+
+class TestCutoutPipeline:
+    def test_shapes_and_gradient(self):
+        from pixray_tpu.engine.cutouts import make_cutouts
+
+        img = jnp.asarray(np.random.default_rng(0).random((54, 96, 3)), jnp.float32)
+
+        def f(im):
+            batch, _ = make_cutouts(
+                KEY, im, 32, 8, 96 / 54, reflect_padding=True, fill_color=jnp.float32(0.5)
+            )
+            return jnp.sum(batch**2)
+
+        loss, g = jax.value_and_grad(f)(img)
+        assert jnp.isfinite(loss)
+        assert jnp.any(g != 0)
+
+    def test_transform_sharing_deterministic(self):
+        from pixray_tpu.engine.cutouts import (
+            pool_to_work,
+            render_cutouts,
+            sample_cut_transforms,
+        )
+
+        img = jnp.asarray(np.random.default_rng(0).random((54, 96, 3)), jnp.float32)
+        work = pool_to_work(img, 32, 96 / 54)
+        t = sample_cut_transforms(KEY, 32, 8, 96 / 54)
+        k_noise = jax.random.PRNGKey(7)
+        b1 = render_cutouts(work, t, 32, reflect_padding=True, fill_color=jnp.float32(0.3), noise_key=k_noise)
+        b2 = render_cutouts(work, t, 32, reflect_padding=True, fill_color=jnp.float32(0.3), noise_key=k_noise)
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))

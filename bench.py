@@ -18,8 +18,17 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+# persistent compilation cache: the step graph is large and first-compile is slow
+# on remote-compile setups; cache hits make repeated bench runs start instantly
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REF_BASELINE_STEPS_PER_SEC = 8.0  # documented A100 reference estimate (see above)
 

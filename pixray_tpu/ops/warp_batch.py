@@ -49,6 +49,13 @@ def _transform_coords(sx, sy, h, w, padding_mode):
     return sx, sy  # zeros / fill: out-of-grid taps vanish in both passes
 
 
+def _matmul_dtype():
+    """bf16 on accelerators (MXU), fp32 on CPU (no bf16 dot support)."""
+    dev = jax.config.jax_default_device
+    platform = dev.platform if dev is not None else jax.default_backend()
+    return jnp.float32 if platform == "cpu" else jnp.bfloat16
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _warp_gather(work, matrices, out_hw, padding_mode):
     """(H, W, C), (N, 3, 3) → (N, out_h, out_w, C). Grads flow to ``work`` only."""
@@ -81,13 +88,21 @@ def _warp_gather_bwd(out_hw, padding_mode, res, g):
         tx, ty = _transform_coords(sx, sy, h, w, padding_mode)
         txf = tx.reshape(k)
         tyf = ty.reshape(k)
-        gf = g_n.reshape(k, c).astype(dtype)
-        # bilinear hat weights: 2 nonzeros per row, built by broadcast (no scatter)
+        gf = g_n.reshape(k, c)
+        # bilinear hat weights: 2 nonzeros per row, built by broadcast (no scatter).
+        # hats are exact in bf16 when coords are (weights are short sums of coords);
+        # the matmuls run bf16 on the MXU with fp32 accumulation.
         a = jnp.maximum(0.0, 1.0 - jnp.abs(tyf[:, None] - u_iota[None, :]))  # (K, H)
         b = jnp.maximum(0.0, 1.0 - jnp.abs(txf[:, None] - v_iota[None, :]))  # (K, W)
+        mm = _matmul_dtype()
+        a16 = a.astype(mm)
+        b16 = b.astype(mm)
+        g16 = gf.astype(mm)
         # dwork[u,v,c] = Σ_k a[k,u] b[k,v] g[k,c]
-        ag = jnp.einsum("ku,kc->ukc", a, gf, preferred_element_type=jnp.float32)
-        contrib = jnp.einsum("ukc,kv->uvc", ag, b, preferred_element_type=jnp.float32)
+        ag = jnp.einsum("ku,kc->ukc", a16, g16, preferred_element_type=jnp.float32)
+        contrib = jnp.einsum(
+            "ukc,kv->uvc", ag.astype(mm), b16, preferred_element_type=jnp.float32
+        )
         return dwork + contrib.astype(dtype), None
 
     dwork0 = jnp.zeros((h, w, c), dtype)

@@ -36,6 +36,11 @@ class VQGANConfig:
 
 
 VQGAN_CONFIGS = {
+    # tiny model for CI/e2e tests (random weights; CPU-fast; f4)
+    "tiny_test": VQGANConfig(
+        ch=32, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(8,),
+        resolution=32, z_channels=32, embed_dim=32, n_embed=64,
+    ),
     "imagenet_f16_1024": VQGANConfig(n_embed=1024),
     "imagenet_f16_16384": VQGANConfig(n_embed=16384),
     "imagenet_f16_16384m": VQGANConfig(n_embed=16384),

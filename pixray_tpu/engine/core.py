@@ -45,6 +45,26 @@ from pixray_tpu.utils import (
 )
 
 
+def is_notebook() -> bool:
+    """Jupyter/colab detection (reference pixray.py:147-161)."""
+    try:
+        shell = get_ipython().__class__.__name__  # noqa: F821
+        return shell in ("ZMQInteractiveShell", "Shell")
+    except NameError:
+        return False
+
+
+def _notebook_display(args, it, outfile):
+    """Inline image display on the display_every cadence (pixray.py:1196-1200)."""
+    if not is_notebook() or args.display_every is None or it % args.display_every != 0:
+        return
+    from IPython import display
+
+    if args.display_clear:
+        display.clear_output()
+    display.display(display.Image(outfile))
+
+
 def resolve_seed(seed_setting):
     """int / numeric-string / arbitrary-string(sha512) / None seeding
     (reference pixray.py:589-606)."""
@@ -453,6 +473,7 @@ class Engine:
             img.save(get_file_path(step_path, f"frame_{it:04d}", ".png"))
         if self.cur_anim_index is not None and self.cur_anim_index == len(self.anim_output_files) - 1:
             OUT.make_gif(args.animation_dir)
+        _notebook_display(args, it, outfile)
         print(writestr)
 
     def run(self, return_display: bool = False) -> bool:

@@ -152,11 +152,17 @@ def build_prompt_tables(args, perceptors, drawer=None, target_image_paths=None):
                         all_prompt_embeds.append(feats)
                         all_weights.append(weight)
 
-    # --- text prompts
+    # --- text prompts ('=' prefix selects stop-pooled encoding, pixray.py:864-870)
     for prompt in args.prompts or []:
         txt, weight, stop = parse_prompt(prompt)
+        use_stops = txt.startswith("=")
+        if use_stops:
+            txt = txt[1:]
         for p in perceptors:
-            embed = np.asarray(p.encode_text(txt))
+            if use_stops:
+                embed = np.asarray(p.encode_text_with_stops(txt))
+            else:
+                embed = np.asarray(p.encode_text(txt))
             rows[p.name].append((embed, weight, stop))
             if p.name == drawer_clip_target:
                 all_prompt_embeds.append(embed)

@@ -240,7 +240,10 @@ class TextTransformer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, tokens):
+    def __call__(self, tokens, pool_indices=None):
+        """pool_indices: optional (B,) positions to pool at instead of
+        argmax(tokens) — the reference's '=' stop-encoding shim
+        (pixray.py:864-870 passes eot_index-1)."""
         cfg = self.config
         emb = self.param(
             "token_embedding", nn.initializers.normal(0.02), (cfg.vocab_size, cfg.text_width)
@@ -256,7 +259,7 @@ class TextTransformer(nn.Module):
         x = Transformer(cfg.text_layers, cfg.text_heads, dtype=self.dtype, name="transformer")(x, mask)
         x = LayerNorm(name="ln_final")(x)
 
-        eot = jnp.argmax(tokens, axis=-1)
+        eot = jnp.argmax(tokens, axis=-1) if pool_indices is None else pool_indices
         x = x[jnp.arange(x.shape[0]), eot]
         proj = self.param(
             "text_projection", nn.initializers.normal(0.02), (cfg.text_width, cfg.embed_dim)
@@ -282,6 +285,9 @@ class CLIP(nn.Module):
 
     def encode_text(self, tokens):
         return self.text(tokens)
+
+    def encode_text_at(self, tokens, pool_indices):
+        return self.text(tokens, pool_indices)
 
     def __call__(self, images, tokens):
         return self.encode_image(images), self.encode_text(tokens)

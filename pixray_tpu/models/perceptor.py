@@ -151,6 +151,16 @@ class Perceptor:
         embeds = self.model.apply(self.variables, tokens, method=self.model.encode_text)
         return embeds.astype(jnp.float32)
 
+    def encode_text_with_stops(self, text):
+        """'=' prompt shim (reference pixray.py:864-870): pool the text features at
+        the last content token (one before EOT) instead of at EOT."""
+        tokens = np.asarray(tokenize(text))
+        stops = jnp.asarray(tokens.argmax(axis=-1) - 1)
+        embeds = self.model.apply(
+            self.variables, jnp.asarray(tokens), stops, method=self.model.encode_text_at
+        )
+        return embeds.astype(jnp.float32)
+
     def encode_texts(self, texts):
         embeds = self.encode_text(texts)
         return l2_normalize(embeds, axis=-1)

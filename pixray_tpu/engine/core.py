@@ -320,6 +320,7 @@ class Engine:
         self.anim_output_files: list[str] = []
         self.anim_cur_zs: list = []
         self.last_loss_values = None
+        self._pending_loss = None
 
         if getattr(args, "resume_from", None):
             from pixray_tpu.engine.checkpoint import restore_session
@@ -405,15 +406,21 @@ class Engine:
             self.last_loss_values = values
             self.last_image = img
 
-            total_f = float(total)
             if self.cur_anim_index is None or self.cur_anim_index == 0:
                 if cur_it in args.learning_rate_drops:
                     print("Dropping learning rate")
                     rebuild_opts_when_done = True
                 else:
-                    did_drop = self.tracker.check(cur_it, total_f, params=self.z)
-                    if args.auto_stop is True:
-                        rebuild_opts_when_done = did_drop
+                    # best-loss tracking with a one-step lag: syncing `total` every
+                    # iteration would stall the device pipeline (jax arrays are
+                    # futures); by reading the PREVIOUS step's loss here it is
+                    # already materialized and the read is free.
+                    if self._pending_loss is not None:
+                        p_it, p_total = self._pending_loss
+                        did_drop = self.tracker.check(p_it, float(p_total), params=self.z)
+                        if args.auto_stop is True:
+                            rebuild_opts_when_done = did_drop
+                    self._pending_loss = (cur_it, total)
 
             if cur_it % args.save_every == 0:
                 self.checkin(cur_it, values)

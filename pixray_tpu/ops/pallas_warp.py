@@ -1,0 +1,194 @@
+"""Pallas TPU kernel: fused cutout warp (the north-star fused gather/resize op).
+
+Both directions of the batched homography warp are expressed as VMEM-resident
+MXU matmuls against bilinear hat weights that are BUILT INSIDE THE KERNEL — no
+gathers, no scatters, and none of the (K×U)/(K×V)/(U×K×C) intermediates the XLA
+einsum formulation writes to HBM (~15 GB/step of traffic at 64 cutouts):
+
+  forward tile:   a = hat(sy)  (T×U);  tmp_c = a @ work_c (U×V);  out_c = Σ_v tmp_c ⊙ hat(sx)
+  backward tile:  dwork_c += hat(sy)ᵀ @ (hat(sx) ⊙ g_c)
+
+Grid = (cutouts, K-tiles of output pixels); the work canvas stays resident in
+VMEM; dwork accumulates in a revisited output block.  Falls back transparently
+to ops/warp_batch.py off-TPU (tests run the kernel in interpret mode).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pixray_tpu.ops.warp_batch import _source_coords, _transform_coords
+
+K_TILE = 512  # output pixels per grid step
+
+
+def _coords_for_tile(inv_ref, kt, out_size, dtype):
+    """Source coords for this tile's output pixels, from the inverse homography."""
+    k0 = kt * K_TILE
+    k = k0 + jax.lax.broadcasted_iota(jnp.int32, (K_TILE, 1), 0)[:, 0]
+    i = (k // out_size).astype(dtype)
+    j = (k % out_size).astype(dtype)
+    m = inv_ref[0]  # (3, 3)
+    denom = m[2, 0] * j + m[2, 1] * i + m[2, 2] + 1e-8
+    sx = (m[0, 0] * j + m[0, 1] * i + m[0, 2]) / denom
+    sy = (m[1, 0] * j + m[1, 1] * i + m[1, 2]) / denom
+    return sx, sy
+
+
+def _pad_coords(sx, sy, h, w, padding_mode):
+    if padding_mode == "reflection":
+        def refl(x, size):
+            span = 2.0 * size
+            x = jnp.mod(x + 0.5, span)
+            x = jnp.where(x >= size, span - x - 1e-6, x)
+            return x - 0.5
+        return refl(sx, w), refl(sy, h)
+    if padding_mode == "border":
+        return jnp.clip(sx, 0.0, w - 1.0), jnp.clip(sy, 0.0, h - 1.0)
+    return sx, sy
+
+
+def _fwd_kernel(inv_ref, work_ref, out_ref, *, out_size, padding_mode, channels):
+    # work_ref: (C, H, W) channel-major so the lane dimension is the wide axis
+    h, w = work_ref.shape[1], work_ref.shape[2]
+    dtype = work_ref.dtype
+    kt = pl.program_id(1)
+    sx, sy = _coords_for_tile(inv_ref, kt, out_size, jnp.float32)
+    sx, sy = _pad_coords(sx, sy, h, w, padding_mode)
+
+    u = jax.lax.broadcasted_iota(jnp.float32, (K_TILE, h), 1)
+    v = jax.lax.broadcasted_iota(jnp.float32, (K_TILE, w), 1)
+    a = jnp.maximum(0.0, 1.0 - jnp.abs(sy[:, None] - u)).astype(dtype)  # (T, H)
+    b = jnp.maximum(0.0, 1.0 - jnp.abs(sx[:, None] - v)).astype(dtype)  # (T, W)
+
+    for c in range(channels):
+        tmp = jnp.dot(a, work_ref[c], preferred_element_type=jnp.float32)  # (T, W)
+        out_ref[0, c, :] = jnp.sum(tmp * b.astype(jnp.float32), axis=1)
+
+
+def _bwd_kernel(inv_ref, g_ref, dwork_ref, *, out_size, padding_mode, channels):
+    # dwork_ref: (C, H, W); g_ref: (1, C, K_TILE)
+    h, w = dwork_ref.shape[1], dwork_ref.shape[2]
+    kt = pl.program_id(1)
+    n = pl.program_id(0)
+
+    @pl.when(jnp.logical_and(n == 0, kt == 0))
+    def _():
+        dwork_ref[...] = jnp.zeros_like(dwork_ref)
+
+    sx, sy = _coords_for_tile(inv_ref, kt, out_size, jnp.float32)
+    sx, sy = _pad_coords(sx, sy, h, w, padding_mode)
+
+    u = jax.lax.broadcasted_iota(jnp.float32, (K_TILE, h), 1)
+    v = jax.lax.broadcasted_iota(jnp.float32, (K_TILE, w), 1)
+    a = jnp.maximum(0.0, 1.0 - jnp.abs(sy[:, None] - u))  # (T, H)
+    b = jnp.maximum(0.0, 1.0 - jnp.abs(sx[:, None] - v))  # (T, W)
+
+    for c in range(channels):
+        gb = b * g_ref[0, c, :][:, None]  # (T, W)
+        contrib = jnp.dot(a.T, gb, preferred_element_type=jnp.float32)  # (H, W)
+        dwork_ref[c] += contrib
+
+
+def _run_fwd(work, inv_matrices, out_size, padding_mode, interpret):
+    n = inv_matrices.shape[0]
+    h, w, c = work.shape
+    k = out_size * out_size
+    k_tiles = pl.cdiv(k, K_TILE)
+    kernel = functools.partial(
+        _fwd_kernel, out_size=out_size, padding_mode=padding_mode, channels=c
+    )
+    work_cm = work.transpose(2, 0, 1)  # (C, H, W): lanes = the wide spatial axis
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, k_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 3, 3), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, h, w), lambda i, t: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, K_TILE), lambda i, t: (i, 0, t), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, c, k_tiles * K_TILE), jnp.float32),
+        interpret=interpret,
+    )(inv_matrices, work_cm)
+    return (
+        out[:, :, :k].transpose(0, 2, 1).reshape(n, out_size, out_size, c).astype(work.dtype)
+    )
+
+
+def _run_bwd(g, inv_matrices, work_shape, out_size, padding_mode, interpret):
+    n = inv_matrices.shape[0]
+    h, w, c = work_shape
+    k = out_size * out_size
+    k_tiles = pl.cdiv(k, K_TILE)
+    g_flat = g.reshape(n, k, c).transpose(0, 2, 1).astype(jnp.float32)  # (N, C, K)
+    pad = k_tiles * K_TILE - k
+    if pad:
+        g_flat = jnp.pad(g_flat, ((0, 0), (0, 0), (0, pad)))
+    kernel = functools.partial(
+        _bwd_kernel, out_size=out_size, padding_mode=padding_mode, channels=c
+    )
+    dwork = pl.pallas_call(
+        kernel,
+        grid=(n, k_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 3, 3), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, K_TILE), lambda i, t: (i, 0, t), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((c, h, w), lambda i, t: (0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, h, w), jnp.float32),
+        interpret=interpret,
+    )(inv_matrices, g_flat)
+    return dwork.transpose(1, 2, 0)
+
+
+def _kernel_available():
+    dev = jax.config.jax_default_device
+    platform = dev.platform if dev is not None else jax.default_backend()
+    return platform != "cpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def pallas_warp(work, inv_matrices, out_size, padding_mode, interpret=False):
+    return _run_fwd(work, inv_matrices, out_size, padding_mode, interpret)
+
+
+def _pallas_warp_fwd(work, inv_matrices, out_size, padding_mode, interpret):
+    out = _run_fwd(work, inv_matrices, out_size, padding_mode, interpret)
+    return out, (jax.lax.stop_gradient(work), inv_matrices)
+
+
+def _pallas_warp_bwd(out_size, padding_mode, interpret, res, g):
+    work_ref, inv_matrices = res
+    dwork = _run_bwd(g, inv_matrices, work_ref.shape, out_size, padding_mode, interpret)
+    return dwork.astype(work_ref.dtype), None
+
+
+pallas_warp.defvjp(_pallas_warp_fwd, _pallas_warp_bwd)
+
+
+def pallas_warp_batch(work, matrices, out_size: int, padding_mode="zeros", fill_value=0.0,
+                      interpret=False):
+    """Drop-in for ops.warp_batch.warp_batch using the fused Pallas kernel."""
+    inv = jnp.linalg.inv(matrices).astype(jnp.float32)
+    out = pallas_warp(work, inv, out_size, padding_mode, interpret)
+
+    if padding_mode == "fill":
+        h, w = work.shape[0], work.shape[1]
+        out_hw = (out_size, out_size)
+
+        def inside_mask(m):
+            sx, sy = _source_coords(m, out_hw, work.dtype)
+            return (sx >= -0.5) & (sx <= w - 0.5) & (sy >= -0.5) & (sy <= h - 0.5)
+
+        insides = jax.vmap(inside_mask)(matrices)[..., None]
+        ones = jnp.ones(work.shape[:2] + (1,), work.dtype)
+        cover = jax.lax.stop_gradient(pallas_warp(ones, inv, out_size, padding_mode, interpret))
+        fill = jnp.asarray(fill_value, work.dtype)
+        out = jnp.where(insides, out + (1.0 - cover) * fill, fill)
+    return out

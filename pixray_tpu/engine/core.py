@@ -379,7 +379,12 @@ class Engine:
 
     def reapply_from_image(self, pil_image):
         pil_image = pil_image.convert("RGB").resize((self.side_x, self.side_y), Image.LANCZOS)
-        self.z = self.drawer.params_from_image(jnp.asarray(IM.to_tensor(pil_image)) * 2 - 1)
+        try:
+            self.z = self.drawer.params_from_image(jnp.asarray(IM.to_tensor(pil_image)) * 2 - 1)
+        except NotImplementedError:
+            # drawers without an image encoder silently skip re-application,
+            # matching the reference's no-op reapply_from_tensor (vdiff.py:147-148)
+            pass
 
     # ------------------------------------------------------------------ train/run
     def train(self, cur_it: int) -> bool:

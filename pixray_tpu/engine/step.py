@@ -164,25 +164,38 @@ def build_loss_fn(cfg: StepConfig, names_sink: list | None = None):
             # image prompts: same transforms (pixray.py:1308-1336); if shuffling,
             # fresh transforms per prompt image
             if spec.image_prompts is not None:
-                k_imgs = jax.random.split(k_img_n, spec.image_prompts.shape[0] + 1)
                 n_imgp = spec.image_prompts.shape[0]
+                k_imgs = jax.random.split(k_img_n, n_imgp + 1)
                 weight = 1.0 if spec.image_prompt_weight is None else spec.image_prompt_weight
-                for k_i in range(n_imgp):
-                    timg = refs["image_prompts"][spec.name][k_i]
-                    # animation: only the anim_index-th prompt participates
+                anim_mode = cfg.args is not None and getattr(cfg.args, "animation_dir", None)
+
+                def prompt_loss_for(timg, key_i, shuffle_key):
                     t = transforms
                     if cfg.image_prompt_shuffle:
-                        t = C.sample_cut_transforms(
-                            jax.random.fold_in(k_imgs[-1], k_i), spec.cut_size, cfg.num_cuts, cfg.aspect
-                        )
+                        t = C.sample_cut_transforms(shuffle_key, spec.cut_size, cfg.num_cuts, cfg.aspect)
                     p_work = C.pool_to_work(timg, spec.cut_size, cfg.aspect)
                     batch = C.render_cutouts(
                         p_work, t, spec.cut_size,
                         reflect_padding=reflect_padding, fill_color=fill_color,
-                        noise_key=k_imgs[k_i],
+                        noise_key=key_i,
                     )
                     embed = spec.image_fn(refs["perceptors"][spec.name], batch)
-                    add(f"{spec.name}:image_prompt{k_i}", single_prompt_loss(iii, embed, weight))
+                    return single_prompt_loss(iii, embed, weight)
+
+                if anim_mode:
+                    # animation selects ONE prompt image per frame (pixray.py:1313-1317)
+                    timg = refs["image_prompts"][spec.name][anim_index % n_imgp]
+                    add(
+                        f"{spec.name}:image_prompt_frame",
+                        prompt_loss_for(timg, k_imgs[0], jax.random.fold_in(k_imgs[-1], 0)),
+                    )
+                else:
+                    for k_i in range(n_imgp):
+                        timg = refs["image_prompts"][spec.name][k_i]
+                        add(
+                            f"{spec.name}:image_prompt{k_i}",
+                            prompt_loss_for(timg, k_imgs[k_i], jax.random.fold_in(k_imgs[-1], k_i)),
+                        )
 
         # image-label loss (pixray.py:1344-1349): spherical distance in latent space
         if refs.get("z_labels") is not None:

@@ -23,6 +23,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pixray_tpu.ops.warp import inv3x3
 from pixray_tpu.ops.warp_batch import _source_coords, _transform_coords
 
 K_TILE = 512  # output pixels per grid step
@@ -62,8 +63,8 @@ def _fwd_kernel(inv_ref, work_ref, out_ref, *, out_size, padding_mode, channels)
     sx, sy = _coords_for_tile(inv_ref, kt, out_size, jnp.float32)
     sx, sy = _pad_coords(sx, sy, h, w, padding_mode)
 
-    u = jax.lax.broadcasted_iota(jnp.float32, (K_TILE, h), 1)
-    v = jax.lax.broadcasted_iota(jnp.float32, (K_TILE, w), 1)
+    u = jax.lax.broadcasted_iota(jnp.int32, (K_TILE, h), 1).astype(jnp.float32)
+    v = jax.lax.broadcasted_iota(jnp.int32, (K_TILE, w), 1).astype(jnp.float32)
     a = jnp.maximum(0.0, 1.0 - jnp.abs(sy[:, None] - u)).astype(dtype)  # (T, H)
     b = jnp.maximum(0.0, 1.0 - jnp.abs(sx[:, None] - v)).astype(dtype)  # (T, W)
 
@@ -85,8 +86,8 @@ def _bwd_kernel(inv_ref, g_ref, dwork_ref, *, out_size, padding_mode, channels):
     sx, sy = _coords_for_tile(inv_ref, kt, out_size, jnp.float32)
     sx, sy = _pad_coords(sx, sy, h, w, padding_mode)
 
-    u = jax.lax.broadcasted_iota(jnp.float32, (K_TILE, h), 1)
-    v = jax.lax.broadcasted_iota(jnp.float32, (K_TILE, w), 1)
+    u = jax.lax.broadcasted_iota(jnp.int32, (K_TILE, h), 1).astype(jnp.float32)
+    v = jax.lax.broadcasted_iota(jnp.int32, (K_TILE, w), 1).astype(jnp.float32)
     a = jnp.maximum(0.0, 1.0 - jnp.abs(sy[:, None] - u))  # (T, H)
     b = jnp.maximum(0.0, 1.0 - jnp.abs(sx[:, None] - v))  # (T, W)
 
@@ -175,7 +176,7 @@ pallas_warp.defvjp(_pallas_warp_fwd, _pallas_warp_bwd)
 def pallas_warp_batch(work, matrices, out_size: int, padding_mode="zeros", fill_value=0.0,
                       interpret=False):
     """Drop-in for ops.warp_batch.warp_batch using the fused Pallas kernel."""
-    inv = jnp.linalg.inv(matrices).astype(jnp.float32)
+    inv = jax.vmap(inv3x3)(matrices).astype(jnp.float32)
     out = pallas_warp(work, inv, out_size, padding_mode, interpret)
 
     if padding_mode == "fill":

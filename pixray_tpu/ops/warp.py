@@ -91,7 +91,7 @@ def bilinear_sample(img, x, y, padding_mode="zeros", fill_value=0.0):
 def warp_perspective(img, matrix, out_hw, padding_mode="zeros", fill_value=0.0):
     """Warp (H, W, C) by a src→dst 3x3 homography into an (out_h, out_w, C) canvas."""
     out_h, out_w = out_hw
-    inv = jnp.linalg.inv(matrix)
+    inv = inv3x3(matrix)
     ys, xs = jnp.meshgrid(
         jnp.arange(out_h, dtype=img.dtype), jnp.arange(out_w, dtype=img.dtype), indexing="ij"
     )
@@ -107,21 +107,43 @@ def warp_perspective(img, matrix, out_hw, padding_mode="zeros", fill_value=0.0):
 # transform builders (all src→dst 3x3, pixel-center coords)
 # ---------------------------------------------------------------------------
 
+def inv3x3(m):
+    """Closed-form (adjugate) 3x3 inverse — TPU-friendly; jnp.linalg.inv lowers
+    to a pivoting LU loop that serializes badly on TPU."""
+    a, b, c = m[0, 0], m[0, 1], m[0, 2]
+    d, e, f = m[1, 0], m[1, 1], m[1, 2]
+    g, h, i = m[2, 0], m[2, 1], m[2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    adj = jnp.stack([
+        jnp.stack([A, -(b * i - c * h), b * f - c * e]),
+        jnp.stack([B, a * i - c * g, -(a * f - c * d)]),
+        jnp.stack([C, -(a * h - b * g), a * e - b * d]),
+    ])
+    return adj / det
+
+
+def _basis_to_quad(pts):
+    """3x3 map sending the projective basis to 4 points (x_i, y_i).
+
+    Classic closed form: with Q = [q1 q2 q3] (homogeneous columns), solve
+    Q·λ = q4 by adjugate and scale the columns: A = Q·diag(λ)."""
+    q = jnp.stack([pts[:, 0], pts[:, 1], jnp.ones_like(pts[:, 0])])  # (3, 4)
+    Q = q[:, :3]
+    lam = inv3x3(Q) @ q[:, 3]
+    return Q * lam[None, :]
+
+
 def homography_from_points(src_pts, dst_pts):
-    """DLT solve for the 3x3 homography mapping 4 src points to 4 dst points."""
-    rows = []
-    rhs = []
-    for i in range(4):
-        x, y = src_pts[i, 0], src_pts[i, 1]
-        u, v = dst_pts[i, 0], dst_pts[i, 1]
-        rows.append(jnp.stack([x, y, jnp.ones_like(x), jnp.zeros_like(x), jnp.zeros_like(x), jnp.zeros_like(x), -u * x, -u * y]))
-        rhs.append(u)
-        rows.append(jnp.stack([jnp.zeros_like(x), jnp.zeros_like(x), jnp.zeros_like(x), x, y, jnp.ones_like(x), -v * x, -v * y]))
-        rhs.append(v)
-    A = jnp.stack(rows)
-    b = jnp.stack(rhs)
-    h = jnp.linalg.solve(A, b)
-    return jnp.concatenate([h, jnp.ones((1,), h.dtype)]).reshape(3, 3)
+    """3x3 homography mapping 4 src points to 4 dst points.
+
+    Closed-form projective-basis construction (no linear-system solve):
+    H = A_dst · A_src⁻¹ where A_* map the projective basis onto each quad."""
+    a_src = _basis_to_quad(src_pts)
+    a_dst = _basis_to_quad(dst_pts)
+    return a_dst @ inv3x3(a_src)
 
 
 def random_perspective(key, h, w, distortion_scale):

@@ -25,12 +25,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from pixray_tpu.ops.warp import _reflect_coord, bilinear_sample
+from pixray_tpu.ops.warp import _reflect_coord, bilinear_sample, inv3x3
 
 
 def _source_coords(matrix, out_hw, dtype):
     out_h, out_w = out_hw
-    inv = jnp.linalg.inv(matrix)
+    inv = inv3x3(matrix)
     ys, xs = jnp.meshgrid(
         jnp.arange(out_h, dtype=dtype), jnp.arange(out_w, dtype=dtype), indexing="ij"
     )

@@ -301,6 +301,7 @@ class Engine:
             "z_orig_flat": self.z_orig_flat,
             "init_image": self.init_image_tensor,
             "loss_globals": self.loss_globals,
+            "loss_params": {i: obj.params for i, (obj, _w) in enumerate(self.custom_losses)},
             "filter_params": {},
         }
 

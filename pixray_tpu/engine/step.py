@@ -240,6 +240,7 @@ def build_loss_fn(cfg: StepConfig, names_sink: list | None = None):
                 globals=loss_globals,
                 lossGlobals=refs.get("loss_globals"),
                 key=jax.random.fold_in(k_loss, 1000 + i),
+                params=refs.get("loss_params", {}).get(i),
             )
             if isinstance(out, (list, tuple)):
                 for j, l in enumerate(out):

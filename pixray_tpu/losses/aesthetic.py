@@ -37,13 +37,16 @@ class AestheticLoss(LossInterface):
             print("WARNING: aesthetic head weights not found (models/ava_vit_b_16_linear.pth); using zeros")
             self.weight = jnp.zeros((1, 512), jnp.float32)
             self.bias = jnp.zeros((1,), jnp.float32)
+        self.params = {"weight": self.weight, "bias": self.bias}
 
-    def get_loss(self, cur_cutouts, out, args, globals=None, lossGlobals=None, key=None):
+    def get_loss(self, cur_cutouts, out, args, globals=None, lossGlobals=None, key=None, params=None):
+        p = params or self.params
+        weight, bias = p["weight"], p["bias"]
         embeds = globals["embeds"]  # (N, D) from the engine's last perceptor
-        d = self.weight.shape[1]
+        d = weight.shape[1]
         if embeds.shape[-1] != d:
             # head is dimension-specific (ViT-B/16); skip silently on mismatch
             return jnp.zeros(())
-        rating = l2_normalize(embeds, axis=-1) @ self.weight.T + self.bias  # (N, 1)
+        rating = l2_normalize(embeds, axis=-1) @ weight.T + bias  # (N, 1)
         target = jnp.full_like(rating, args.aesthetic_target)
         return jnp.mean(jnp.square(rating - target)) * 0.02

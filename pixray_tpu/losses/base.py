@@ -13,6 +13,11 @@ import argparse
 
 
 class LossInterface:
+    #: optional pytree of model weights; the engine passes it through the jitted
+    #: step as an ARGUMENT (closure-captured weights become jaxpr constants and
+    #: blow up compile-request sizes on remote-compile setups)
+    params = None
+
     def __init__(self, settings=None):
         self.settings = settings
 
@@ -33,5 +38,5 @@ class LossInterface:
     def add_globals(self, args) -> dict:
         return {}
 
-    def get_loss(self, cur_cutouts, out, args, globals=None, lossGlobals=None, key=None):
+    def get_loss(self, cur_cutouts, out, args, globals=None, lossGlobals=None, key=None, params=None):
         raise NotImplementedError

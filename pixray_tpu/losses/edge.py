@@ -70,7 +70,7 @@ class EdgeLoss(LossInterface):
             mask = self.mask
         return target, mask
 
-    def get_loss(self, cur_cutouts, out, args, globals=None, lossGlobals=None, key=None):
+    def get_loss(self, cur_cutouts, out, args, globals=None, lossGlobals=None, key=None, params=None):
         target, mask = self._targets(out)
         h, w = out.shape[0], out.shape[1]
         loss = jnp.zeros(())

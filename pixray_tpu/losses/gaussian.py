@@ -27,7 +27,7 @@ class GaussianLoss(LossInterface):
         parser.add_argument("--gaussian_color", nargs=3, type=float, help="target color (0-255)", default=(255, 255, 255), dest="gaussian_color")
         return parser
 
-    def get_loss(self, cur_cutouts, out, args, globals=None, lossGlobals=None, key=None):
+    def get_loss(self, cur_cutouts, out, args, globals=None, lossGlobals=None, key=None, params=None):
         h, w = out.shape[0], out.shape[1]
         gaus = gaussian_window_2d(h, w, *args.gaussian_std)
         color = jnp.asarray(args.gaussian_color, jnp.float32) / 255.0

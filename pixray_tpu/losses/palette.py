@@ -23,7 +23,7 @@ class PaletteLoss(LossInterface):
             raise ValueError("palette loss requires --palette")
         self.palette = jnp.asarray(palette, dtype=jnp.float32)  # (K, 3)
 
-    def get_loss(self, cur_cutouts, out, args, globals=None, lossGlobals=None, key=None):
+    def get_loss(self, cur_cutouts, out, args, globals=None, lossGlobals=None, key=None, params=None):
         losses = []
         for _, cutouts in cur_cutouts.items():
             pixels = cutouts.reshape(-1, 3)  # (M, 3)

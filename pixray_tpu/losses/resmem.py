@@ -102,6 +102,7 @@ class ResmemLoss(LossInterface):
         k1, k2 = jax.random.split(key)
         self.alex_params = init_alexnet_params(k1)
         self.head_params = init_head_params(k2, 6 * 6 * 256)
+        self.params = {"alex": self.alex_params, "head": self.head_params}
         path = os.path.join(os.environ.get("PIXRAY_TPU_MODELS", "models"), "resmem_model.pt")
         if os.path.exists(path):
             self._try_load(path)
@@ -128,23 +129,25 @@ class ResmemLoss(LossInterface):
                     loaded += 1
         print(f"ResMem: mapped {loaded} conv layers from {path}")
 
-    def _predict(self, images):
+    def _predict(self, images, params=None):
+        alex = (params or self.params)["alex"]
+        head = (params or self.params)["head"]
         """images: (N, S, S, 3) in [0,1] → (N,) memorability scores."""
         # recenter: resize 256, center-crop 227 (ResmemLoss.py recenter transform)
         n = images.shape[0]
         x = jax.image.resize(images, (n, 256, 256, 3), method="bilinear")
         x = x[:, 14:241, 14:241, :]
         x = (x - IMAGENET_MEAN) / IMAGENET_STD
-        feats = alexnet_features(self.alex_params, x)
+        feats = alexnet_features(alex, x)
         flat = feats.reshape(n, -1)
-        h = jax.nn.relu(flat @ self.head_params["fc1"]["kernel"] + self.head_params["fc1"]["bias"])
-        score = h @ self.head_params["fc2"]["kernel"] + self.head_params["fc2"]["bias"]
+        h = jax.nn.relu(flat @ head["fc1"]["kernel"] + head["fc1"]["bias"])
+        score = h @ head["fc2"]["kernel"] + head["fc2"]["bias"]
         return jax.nn.sigmoid(score[:, 0])
 
-    def get_loss(self, cur_cutouts, out, args, globals=None, lossGlobals=None, key=None):
+    def get_loss(self, cur_cutouts, out, args, globals=None, lossGlobals=None, key=None, params=None):
         # the reference scores the 224-res cutouts (ResmemLoss.py get_loss)
         sizes = sorted(cur_cutouts.keys())
         images = cur_cutouts[224] if 224 in cur_cutouts else cur_cutouts[sizes[0]]
-        prediction = self._predict(jnp.clip(images, 0.0, 1.0))
+        prediction = self._predict(jnp.clip(images, 0.0, 1.0), params)
         mapped_mean = map_number(jnp.mean(prediction), 0.4, 1.0, 0, 1)
         return 0.05 * mapped_mean * args.resmem_weight

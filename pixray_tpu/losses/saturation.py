@@ -16,7 +16,7 @@ class SaturationLoss(LossInterface):
         parser.add_argument("--saturation_weight", type=float, help="strength of saturation loss effect", default=1, dest="saturation_weight")
         return parser
 
-    def get_loss(self, cur_cutouts, out, args, globals=None, lossGlobals=None, key=None):
+    def get_loss(self, cur_cutouts, out, args, globals=None, lossGlobals=None, key=None, params=None):
         losses = []
         for _, cutouts in cur_cutouts.items():
             pixels = cutouts.reshape(-1, 3)

@@ -59,7 +59,7 @@ class SmoothnessLoss(LossInterface):
         parser.add_argument("--smoothness_edge_order", type=int, help="(edge_order=1 supported)", default=1, dest="smoothness_edge_order")
         return parser
 
-    def get_loss(self, cur_cutouts, out, args, globals=None, lossGlobals=None, key=None):
+    def get_loss(self, cur_cutouts, out, args, globals=None, lossGlobals=None, key=None, params=None):
         losses = []
         for _, cutouts in cur_cutouts.items():
             x = cutouts

@@ -250,7 +250,7 @@ class StyleLoss(LossInterface):
 
     def __init__(self, settings=None):
         super().__init__(settings)
-        self.vgg_params = load_vgg16_params()
+        self.params = {"vgg": load_vgg16_params()}
         self.style_image = None
         if settings.style_file:
             from pixray_tpu.io.images import open_images, to_tensor
@@ -270,7 +270,8 @@ class StyleLoss(LossInterface):
             self.style_image = jnp.asarray(np.asarray(resized, np.float32) / 255.0)[None]
         return self.style_image
 
-    def get_loss(self, cur_cutouts, out, args, globals=None, lossGlobals=None, key=None):
+    def get_loss(self, cur_cutouts, out, args, globals=None, lossGlobals=None, key=None, params=None):
+        vgg_params = (params or self.params)["vgg"]
         if self.style_pil is None:
             return jnp.zeros(())
         style = self._style_tensor(out)
@@ -283,7 +284,7 @@ class StyleLoss(LossInterface):
         def compute(_):
             return strotss_loss(
                 out_b, style_b, args.styleloss_content_weight,
-                self.vgg_params, key, space=args.styleloss_ospace,
+                vgg_params, key, space=args.styleloss_ospace,
             )
 
         active = jnp.logical_and(

@@ -16,6 +16,6 @@ class SymmetryLoss(LossInterface):
         parser.add_argument("--symmetry_weight", type=float, help="how much symmetry is weighted in loss", default=1, dest="symmetry_weight")
         return parser
 
-    def get_loss(self, cur_cutouts, out, args, globals=None, lossGlobals=None, key=None):
+    def get_loss(self, cur_cutouts, out, args, globals=None, lossGlobals=None, key=None, params=None):
         flipped = jnp.flip(out, axis=1)  # flip width (out is HWC)
         return jnp.mean((out - flipped) ** 2) * args.symmetry_weight

@@ -28,10 +28,30 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+import os
+
 from pixray_tpu.ops import warp as W
 from pixray_tpu.ops.color import random_color_jitter
 from pixray_tpu.ops.pool import adaptive_avg_pool, adaptive_max_pool
-from pixray_tpu.ops.warp_batch import warp_batch
+from pixray_tpu.ops.warp_batch import warp_batch as _xla_warp_batch
+
+
+def _select_warp():
+    """PIXRAY_TPU_PALLAS=1 uses the fused Pallas kernel (ops/pallas_warp.py);
+    default/0 = the XLA matmul-adjoint path (flip the default once the kernel is
+    perf-validated on the target hardware generation)."""
+    if os.environ.get("PIXRAY_TPU_PALLAS", "0") == "1":
+        dev = jax.config.jax_default_device
+        platform = dev.platform if dev is not None else jax.default_backend()
+        if platform != "cpu":
+            from pixray_tpu.ops.pallas_warp import pallas_warp_batch
+
+            return pallas_warp_batch
+    return _xla_warp_batch
+
+
+def warp_batch(*args, **kwargs):
+    return _select_warp()(*args, **kwargs)
 
 NOISE_FAC = 0.1
 ZOOM_FRACTION = 0.6

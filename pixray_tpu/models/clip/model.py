@@ -59,17 +59,16 @@ class MultiHeadAttention(nn.Module):
         b, t, _ = x.shape
         h = self.num_heads
         hd = d // h
-        q = q.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
+        q = q.reshape(b, t, h, hd)
+        k = k.reshape(b, t, h, hd)
+        v = v.reshape(b, t, h, hd)
 
-        scale = 1.0 / jnp.sqrt(hd).astype(q.dtype)
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32)
-        if mask is not None:
-            attn = attn + mask
-        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v, preferred_element_type=jnp.float32)
-        out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, t, d)
+        # jax.nn.dot_product_attention picks the fused TPU attention path;
+        # causal masking (text tower) passed as is_causal
+        out = jax.nn.dot_product_attention(
+            q, k, v, is_causal=(mask is not None)
+        )
+        out = out.astype(x.dtype).reshape(b, t, d)
         return nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
 
 

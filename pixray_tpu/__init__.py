@@ -67,6 +67,12 @@ def run(prompts=None, drawer="vqgan", **kwargs):
     do_run(settings)
 
 
+def command_line_override():
+    """Parse settings purely from argv (reference pixray.py:2111-2116)."""
+    reset_settings()
+    return apply_settings()
+
+
 def main():
     """CLI entry point: settings come from argv (+ optional --config_file YAML)."""
     reset_settings()

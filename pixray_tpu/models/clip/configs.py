@@ -27,9 +27,12 @@ class CLIPConfig:
     text_width: int
     text_heads: int
     text_layers: int
+    # "openai" (ln_pre, no patch bias, QuickGELU) or "timm" (patch bias, no
+    # ln_pre, GELU vision MLPs) — the SLIP family uses timm ViT trunks
+    vision_style: str = "openai"
 
 
-def _vit(name, embed_dim, res, width, layers, patch):
+def _vit(name, embed_dim, res, width, layers, patch, style="openai"):
     return CLIPConfig(
         name=name,
         embed_dim=embed_dim,
@@ -44,6 +47,7 @@ def _vit(name, embed_dim, res, width, layers, patch):
         text_width=512,
         text_heads=8,
         text_layers=12,
+        vision_style=style,
     )
 
 
@@ -84,15 +88,15 @@ CLIP_CONFIGS = {
 # SLIP-family perceptors (reference slip.py:13-16, 84-170) reuse the ViT trunk with
 # ImageNet preprocessing stats; resolution is always 224.
 SLIP_CONFIGS = {
-    "SLIP_VITS16": _vit("SLIP_VITS16", 512, 224, 384, 12, 16),
-    "SLIP_VITB16": _vit("SLIP_VITB16", 512, 224, 768, 12, 16),
-    "SLIP_VITL16": _vit("SLIP_VITL16", 512, 224, 1024, 24, 16),
-    "SLIP_CC3M": _vit("SLIP_CC3M", 512, 224, 768, 12, 16),
-    "SLIP_CC12M": _vit("SLIP_CC12M", 512, 224, 768, 12, 16),
-    "SIMCLR_VITS16": _vit("SIMCLR_VITS16", 512, 224, 384, 12, 16),
-    "CLIP_VITS16": _vit("CLIP_VITS16", 512, 224, 384, 12, 16),
-    "CLIP_VITB16": _vit("CLIP_VITB16", 512, 224, 768, 12, 16),
-    "CLIP_VITL16": _vit("CLIP_VITL16", 512, 224, 1024, 24, 16),
+    "SLIP_VITS16": _vit("SLIP_VITS16", 512, 224, 384, 12, 16, "timm"),
+    "SLIP_VITB16": _vit("SLIP_VITB16", 512, 224, 768, 12, 16, "timm"),
+    "SLIP_VITL16": _vit("SLIP_VITL16", 512, 224, 1024, 24, 16, "timm"),
+    "SLIP_CC3M": _vit("SLIP_CC3M", 512, 224, 768, 12, 16, "timm"),
+    "SLIP_CC12M": _vit("SLIP_CC12M", 512, 224, 768, 12, 16, "timm"),
+    "SIMCLR_VITS16": _vit("SIMCLR_VITS16", 512, 224, 384, 12, 16, "timm"),
+    "CLIP_VITS16": _vit("CLIP_VITS16", 512, 224, 384, 12, 16, "timm"),
+    "CLIP_VITB16": _vit("CLIP_VITB16", 512, 224, 768, 12, 16, "timm"),
+    "CLIP_VITL16": _vit("CLIP_VITL16", 512, 224, 1024, 24, 16, "timm"),
 }
 
 CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)

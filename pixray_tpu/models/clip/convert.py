@@ -183,6 +183,56 @@ def convert_hf_clip(state_dict, config):
     return {"params": {"visual": visual, "text": text}}
 
 
+def convert_slip_clip(state_dict, config):
+    """SLIP checkpoint (timm ViT trunk + CLIP text tower) → Flax variables.
+
+    SLIP state dicts (facebookresearch/SLIP; reference slip.py:125-145) use a
+    timm VisionTransformer: visual.patch_embed.proj (biased conv), cls_token,
+    pos_embed, blocks.N.{norm1,attn.qkv,attn.proj,norm2,mlp.fc1,mlp.fc2},
+    visual.norm, and separate image_projection/text_projection parameters.
+    """
+    sd = {k: v for k, v in state_dict.items()}
+    p = config.vision_patch_size
+    width = config.vision_width
+
+    def timm_block(prefix):
+        return {
+            "ln_1": {"scale": _t(sd[f"{prefix}.norm1.weight"]), "bias": _t(sd[f"{prefix}.norm1.bias"])},
+            "ln_2": {"scale": _t(sd[f"{prefix}.norm2.weight"]), "bias": _t(sd[f"{prefix}.norm2.bias"])},
+            "attn": {
+                "in_proj": {
+                    "kernel": _t(sd[f"{prefix}.attn.qkv.weight"]).T,
+                    "bias": _t(sd[f"{prefix}.attn.qkv.bias"]),
+                },
+                "out_proj": _dense(sd, f"{prefix}.attn.proj"),
+            },
+            "mlp_fc": _dense(sd, f"{prefix}.mlp.fc1"),
+            "mlp_proj": _dense(sd, f"{prefix}.mlp.fc2"),
+        }
+
+    conv1 = _t(sd["visual.patch_embed.proj.weight"])  # (width, 3, p, p)
+    visual = {
+        "patch_embedding": conv1.transpose(2, 3, 1, 0).reshape(p * p * 3, width),
+        "patch_bias": _t(sd["visual.patch_embed.proj.bias"]),
+        "class_embedding": _t(sd["visual.cls_token"]).reshape(width),
+        "positional_embedding": _t(sd["visual.pos_embed"]).reshape(-1, width),
+        "ln_post": {"scale": _t(sd["visual.norm.weight"]), "bias": _t(sd["visual.norm.bias"])},
+        "proj": _t(sd["image_projection"]),
+        "transformer": {
+            f"resblock_{i}": timm_block(f"visual.blocks.{i}")
+            for i in range(config.vision_layers)
+        },
+    }
+    text = {
+        "token_embedding": _t(sd["token_embedding.weight"]),
+        "positional_embedding": _t(sd["positional_embedding"]),
+        "ln_final": _ln(sd, "ln_final"),
+        "text_projection": _t(sd["text_projection"]),
+        "transformer": _transformer(sd, "transformer", config.text_layers),
+    }
+    return {"params": {"visual": visual, "text": text}}
+
+
 def load_torch_state_dict(path: str):
     """Load a torch checkpoint (TorchScript archive or plain state dict) as numpy."""
     import torch

@@ -75,6 +75,7 @@ class MultiHeadAttention(nn.Module):
 class ResidualAttentionBlock(nn.Module):
     num_heads: int
     dtype: Any = jnp.float32
+    act: str = "quick_gelu"  # timm-style (SLIP) trunks use exact gelu
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -84,7 +85,7 @@ class ResidualAttentionBlock(nn.Module):
         )
         h = LayerNorm(name="ln_2")(x)
         h = nn.Dense(4 * d, dtype=self.dtype, name="mlp_fc")(h)
-        h = quick_gelu(h)
+        h = quick_gelu(h) if self.act == "quick_gelu" else jax.nn.gelu(h, approximate=False)
         h = nn.Dense(d, dtype=self.dtype, name="mlp_proj")(h)
         return x + h
 
@@ -93,11 +94,14 @@ class Transformer(nn.Module):
     layers: int
     num_heads: int
     dtype: Any = jnp.float32
+    act: str = "quick_gelu"
 
     @nn.compact
     def __call__(self, x, mask=None):
         for i in range(self.layers):
-            x = ResidualAttentionBlock(self.num_heads, dtype=self.dtype, name=f"resblock_{i}")(x, mask)
+            x = ResidualAttentionBlock(
+                self.num_heads, dtype=self.dtype, act=self.act, name=f"resblock_{i}"
+            )(x, mask)
         return x
 
 
@@ -109,6 +113,7 @@ class VisionTransformer(nn.Module):
     def __call__(self, images):
         """images: (B, H, W, 3), already preprocessed/normalized."""
         cfg = self.config
+        timm_style = cfg.vision_style == "timm"
         p = cfg.vision_patch_size
         width = cfg.vision_width
         b, hgt, wdt, _ = images.shape
@@ -123,6 +128,8 @@ class VisionTransformer(nn.Module):
             (p * p * 3, width),
         )
         x = jnp.dot(x, patch_kernel.astype(self.dtype), preferred_element_type=jnp.float32).astype(self.dtype)
+        if timm_style:  # timm patch conv carries a bias; OpenAI's does not
+            x = x + self.param("patch_bias", nn.initializers.zeros, (width,)).astype(self.dtype)
 
         cls = self.param("class_embedding", nn.initializers.normal(0.02), (width,))
         cls = jnp.broadcast_to(cls.astype(self.dtype), (b, 1, width))
@@ -132,8 +139,12 @@ class VisionTransformer(nn.Module):
             "positional_embedding", nn.initializers.normal(0.01), (gh * gw + 1, width)
         )
         x = x + pos.astype(self.dtype)
-        x = LayerNorm(name="ln_pre")(x)
-        x = Transformer(cfg.vision_layers, cfg.vision_heads, dtype=self.dtype, name="transformer")(x)
+        if not timm_style:  # timm ViTs have no pre-transformer LayerNorm
+            x = LayerNorm(name="ln_pre")(x)
+        x = Transformer(
+            cfg.vision_layers, cfg.vision_heads, dtype=self.dtype,
+            act="gelu" if timm_style else "quick_gelu", name="transformer",
+        )(x)
         x = LayerNorm(name="ln_post")(x[:, 0, :])
 
         proj = self.param(

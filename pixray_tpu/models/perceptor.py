@@ -104,14 +104,21 @@ class Perceptor:
     def _load_variables(self, name):
         ckpt = _find_checkpoint(name)
         if ckpt is not None:
-            from .clip.convert import convert_hf_clip, convert_openai_clip, load_torch_state_dict
+            from .clip.convert import (
+                convert_hf_clip,
+                convert_openai_clip,
+                convert_slip_clip,
+                load_torch_state_dict,
+            )
 
             sd = load_torch_state_dict(ckpt)
+            if any(k.startswith("module.") for k in sd):  # SLIP DDP checkpoints
+                sd = {k.replace("module.", ""): v for k, v in sd.items()}
             if any(k.startswith("vision_model.") for k in sd):
                 variables = convert_hf_clip(sd, self.config)
+            elif any(k.startswith("visual.patch_embed") for k in sd):
+                variables = convert_slip_clip(sd, self.config)
             else:
-                if any(k.startswith("module.") for k in sd):  # SLIP DDP checkpoints
-                    sd = {k.replace("module.", ""): v for k, v in sd.items()}
                 variables = convert_openai_clip(sd, self.config)
             n_params = sum(np.prod(v.shape) for v in jax.tree_util.tree_leaves(variables["params"]))
             print(f"Loaded perceptor {name}: {self.input_resolution}px, {n_params / 1e6:.2f}M params")

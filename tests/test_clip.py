@@ -238,3 +238,69 @@ class TestTokenizer:
         arr = tokenize("word " * 200, context_length=16)
         assert arr.shape == (1, 16)
         assert arr[0, -1] == get_tokenizer().eot_token
+
+
+def tiny_timm_config():
+    return CLIPConfig(
+        name="tiny-slip", embed_dim=48, image_resolution=32, vision_kind="vit",
+        vision_width=64, vision_layers=2, vision_patch_size=8, vision_heads=2,
+        context_length=16, vocab_size=64, text_width=32, text_heads=2, text_layers=2,
+        vision_style="timm",
+    )
+
+
+def test_slip_converter_matches_init_tree():
+    """convert_slip_clip must produce exactly the tree a timm-style model builds."""
+    from pixray_tpu.models.clip.convert import convert_slip_clip
+
+    cfg = tiny_timm_config()
+    rng = np.random.default_rng(0)
+    sd = {}
+
+    def add(name, *shape):
+        sd[name] = rng.standard_normal(shape).astype(np.float32) * 0.02
+
+    p, w = cfg.vision_patch_size, cfg.vision_width
+    n = (cfg.image_resolution // p) ** 2 + 1
+    add("visual.patch_embed.proj.weight", w, 3, p, p)
+    add("visual.patch_embed.proj.bias", w)
+    add("visual.cls_token", 1, 1, w)
+    add("visual.pos_embed", 1, n, w)
+    add("visual.norm.weight", w); add("visual.norm.bias", w)
+    add("image_projection", w, cfg.embed_dim)
+    for i in range(cfg.vision_layers):
+        pre = f"visual.blocks.{i}"
+        add(f"{pre}.norm1.weight", w); add(f"{pre}.norm1.bias", w)
+        add(f"{pre}.norm2.weight", w); add(f"{pre}.norm2.bias", w)
+        add(f"{pre}.attn.qkv.weight", 3 * w, w); add(f"{pre}.attn.qkv.bias", 3 * w)
+        add(f"{pre}.attn.proj.weight", w, w); add(f"{pre}.attn.proj.bias", w)
+        add(f"{pre}.mlp.fc1.weight", 4 * w, w); add(f"{pre}.mlp.fc1.bias", 4 * w)
+        add(f"{pre}.mlp.fc2.weight", w, 4 * w); add(f"{pre}.mlp.fc2.bias", w)
+    tw = cfg.text_width
+    add("token_embedding.weight", cfg.vocab_size, tw)
+    add("positional_embedding", cfg.context_length, tw)
+    add("ln_final.weight", tw); add("ln_final.bias", tw)
+    add("text_projection", tw, cfg.embed_dim)
+    for i in range(cfg.text_layers):
+        pre = f"transformer.resblocks.{i}"
+        add(f"{pre}.ln_1.weight", tw); add(f"{pre}.ln_1.bias", tw)
+        add(f"{pre}.ln_2.weight", tw); add(f"{pre}.ln_2.bias", tw)
+        add(f"{pre}.attn.in_proj_weight", 3 * tw, tw); add(f"{pre}.attn.in_proj_bias", 3 * tw)
+        add(f"{pre}.attn.out_proj.weight", tw, tw); add(f"{pre}.attn.out_proj.bias", tw)
+        add(f"{pre}.mlp.c_fc.weight", 4 * tw, tw); add(f"{pre}.mlp.c_fc.bias", 4 * tw)
+        add(f"{pre}.mlp.c_proj.weight", tw, 4 * tw); add(f"{pre}.mlp.c_proj.bias", tw)
+
+    variables = convert_slip_clip(sd, cfg)
+    model = CLIP(cfg, dtype=jnp.float32)
+    ref = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.image_resolution, cfg.image_resolution, 3)),
+        jnp.zeros((1, cfg.context_length), dtype=jnp.int32),
+    )
+    ref_flat = {str(k): x.shape for k, x in jax.tree_util.tree_flatten_with_path(ref)[0]}
+    got_flat = {str(k): x.shape for k, x in jax.tree_util.tree_flatten_with_path(variables)[0]}
+    assert ref_flat == got_flat
+
+    out = model.apply(variables, jnp.ones((1, 32, 32, 3)) * 0.4, method=model.encode_image)
+    assert out.shape == (1, cfg.embed_dim)
+    assert jnp.all(jnp.isfinite(out))

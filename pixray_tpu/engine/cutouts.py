@@ -41,7 +41,8 @@ def _select_warp():
     (hardware-validated: 195→82 ms/step at 64 cutouts on v5e), the XLA
     matmul-adjoint path on CPU.  PIXRAY_TPU_PALLAS=0 forces XLA everywhere,
     =1 forces Pallas."""
-    mode = os.environ.get("PIXRAY_TPU_PALLAS", "auto")
+    mode = os.environ.get("PIXRAY_TPU_PALLAS", "0")  # default XLA until the
+    # kernel passes the on-hardware numerical crosscheck (tools/crosscheck)
     if mode == "0":
         return _xla_warp_batch
     dev = jax.config.jax_default_device

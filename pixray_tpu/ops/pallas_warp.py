@@ -30,15 +30,26 @@ K_TILE = 512  # output pixels per grid step
 
 
 def _coords_for_tile(inv_ref, kt, out_size, dtype):
-    """Source coords for this tile's output pixels, from the inverse homography."""
+    """Source coords for this tile's output pixels, from the inverse homography.
+
+    Mosaic-conservative: the homography scalars come from an SMEM block, every
+    intermediate is 2D (K_TILE, 1).  Returns sx, sy with shape (K_TILE, 1)."""
     k0 = kt * K_TILE
-    k = k0 + jax.lax.broadcasted_iota(jnp.int32, (K_TILE, 1), 0)[:, 0]
+    k = k0 + jax.lax.broadcasted_iota(jnp.int32, (K_TILE, 1), 0)  # (K_TILE, 1)
     i = (k // out_size).astype(dtype)
     j = (k % out_size).astype(dtype)
-    m = inv_ref[0]  # (3, 3)
-    denom = m[2, 0] * j + m[2, 1] * i + m[2, 2] + 1e-8
-    sx = (m[0, 0] * j + m[0, 1] * i + m[0, 2]) / denom
-    sy = (m[1, 0] * j + m[1, 1] * i + m[1, 2]) / denom
+    m00 = inv_ref[0, 0, 0]
+    m01 = inv_ref[0, 0, 1]
+    m02 = inv_ref[0, 0, 2]
+    m10 = inv_ref[0, 1, 0]
+    m11 = inv_ref[0, 1, 1]
+    m12 = inv_ref[0, 1, 2]
+    m20 = inv_ref[0, 2, 0]
+    m21 = inv_ref[0, 2, 1]
+    m22 = inv_ref[0, 2, 2]
+    denom = m20 * j + m21 * i + m22 + 1e-8
+    sx = (m00 * j + m01 * i + m02) / denom
+    sy = (m10 * j + m11 * i + m12) / denom
     return sx, sy
 
 
@@ -60,13 +71,13 @@ def _fwd_kernel(inv_ref, work_ref, out_ref, *, out_size, padding_mode, channels)
     h, w = work_ref.shape[1], work_ref.shape[2]
     dtype = work_ref.dtype
     kt = pl.program_id(1)
-    sx, sy = _coords_for_tile(inv_ref, kt, out_size, jnp.float32)
+    sx, sy = _coords_for_tile(inv_ref, kt, out_size, jnp.float32)  # (T, 1)
     sx, sy = _pad_coords(sx, sy, h, w, padding_mode)
 
     u = jax.lax.broadcasted_iota(jnp.int32, (K_TILE, h), 1).astype(jnp.float32)
     v = jax.lax.broadcasted_iota(jnp.int32, (K_TILE, w), 1).astype(jnp.float32)
-    a = jnp.maximum(0.0, 1.0 - jnp.abs(sy[:, None] - u)).astype(dtype)  # (T, H)
-    b = jnp.maximum(0.0, 1.0 - jnp.abs(sx[:, None] - v)).astype(dtype)  # (T, W)
+    a = jnp.maximum(0.0, 1.0 - jnp.abs(sy - u)).astype(dtype)  # (T, H)
+    b = jnp.maximum(0.0, 1.0 - jnp.abs(sx - v)).astype(dtype)  # (T, W)
 
     for c in range(channels):
         tmp = jnp.dot(a, work_ref[c], preferred_element_type=jnp.float32)  # (T, W)
@@ -83,16 +94,16 @@ def _bwd_kernel(inv_ref, g_ref, dwork_ref, *, out_size, padding_mode, channels):
     def _():
         dwork_ref[...] = jnp.zeros_like(dwork_ref)
 
-    sx, sy = _coords_for_tile(inv_ref, kt, out_size, jnp.float32)
+    sx, sy = _coords_for_tile(inv_ref, kt, out_size, jnp.float32)  # (T, 1)
     sx, sy = _pad_coords(sx, sy, h, w, padding_mode)
 
     u = jax.lax.broadcasted_iota(jnp.int32, (K_TILE, h), 1).astype(jnp.float32)
     v = jax.lax.broadcasted_iota(jnp.int32, (K_TILE, w), 1).astype(jnp.float32)
-    a = jnp.maximum(0.0, 1.0 - jnp.abs(sy[:, None] - u))  # (T, H)
-    b = jnp.maximum(0.0, 1.0 - jnp.abs(sx[:, None] - v))  # (T, W)
+    a = jnp.maximum(0.0, 1.0 - jnp.abs(sy - u))  # (T, H)
+    b = jnp.maximum(0.0, 1.0 - jnp.abs(sx - v))  # (T, W)
 
     for c in range(channels):
-        gb = b * g_ref[0, c, :][:, None]  # (T, W)
+        gb = b * g_ref[0, c, :].reshape(K_TILE, 1)  # (T, W)
         contrib = jnp.dot(a.T, gb, preferred_element_type=jnp.float32)  # (H, W)
         dwork_ref[c] += contrib
 
@@ -110,7 +121,7 @@ def _run_fwd(work, inv_matrices, out_size, padding_mode, interpret):
         kernel,
         grid=(n, k_tiles),
         in_specs=[
-            pl.BlockSpec((1, 3, 3), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, 3), lambda i, t: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((c, h, w), lambda i, t: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, c, K_TILE), lambda i, t: (i, 0, t), memory_space=pltpu.VMEM),
@@ -138,7 +149,7 @@ def _run_bwd(g, inv_matrices, work_shape, out_size, padding_mode, interpret):
         kernel,
         grid=(n, k_tiles),
         in_specs=[
-            pl.BlockSpec((1, 3, 3), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, 3), lambda i, t: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, c, K_TILE), lambda i, t: (i, 0, t), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((c, h, w), lambda i, t: (0, 0, 0), memory_space=pltpu.VMEM),

@@ -63,8 +63,12 @@ def adaptive_avg_pool(x, out_h: int, out_w: int):
     h, w = x.shape[-3], x.shape[-2]
     row_mat = jnp.asarray(_avg_pool_matrix(h, out_h))  # (out_h, H)
     col_mat = jnp.asarray(_avg_pool_matrix(w, out_w))  # (out_w, W)
-    y = jnp.einsum("oh,...hwc->...owc", row_mat, x, preferred_element_type=jnp.float32)
-    y = jnp.einsum("pw,...owc->...opc", col_mat, y, preferred_element_type=jnp.float32)
+    # HIGHEST precision: TPU f32 matmuls default to bf16-grade passes; exact
+    # pooling keeps parity with the reference's fp32 adaptive pooling
+    y = jnp.einsum("oh,...hwc->...owc", row_mat, x,
+                   preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    y = jnp.einsum("pw,...owc->...opc", col_mat, y,
+                   preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
     return y.astype(x.dtype)
 
 

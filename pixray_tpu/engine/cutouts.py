@@ -121,7 +121,7 @@ def sample_cut_transforms(key, cut_size: int, cutn: int, aspect: float):
         k1, k2, kp = jax.random.split(k, 3)
         m_persp = W.maybe(kp, 0.7, W.random_perspective(k1, wh, ww, 0.40))
         m_crop = W.random_resized_crop(k2, wh, ww, cut_size, scale=(0.25, 0.95), ratio=(0.85, 1.2))
-        return m_crop @ m_persp
+        return W.mm3(m_crop, m_persp)
 
     translate, scale_range = _wide_affine_params(aspect)
 
@@ -130,7 +130,7 @@ def sample_cut_transforms(key, cut_size: int, cutn: int, aspect: float):
         m_aff = W.random_affine(k1, wh, ww, translate, scale_range)
         m_center = W.center_crop_transform(wh, ww, cut_size)
         m_persp = W.maybe(kp, 0.7, W.random_perspective(k2, cut_size, cut_size, 0.20))
-        return m_persp @ m_center @ m_aff
+        return W.mm3(W.mm3(m_persp, m_center), m_aff)
 
     kz, kw = jax.random.split(key)
     zoom_ms = jax.vmap(one_zoom)(jax.random.split(kz, n_zoom)) if n_zoom else jnp.zeros((0, 3, 3))

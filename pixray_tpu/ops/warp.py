@@ -19,6 +19,15 @@ import jax
 import jax.numpy as jnp
 
 
+def mm3(a, b):
+    """Small-matrix product at HIGHEST precision.
+
+    TPU f32 matmuls default to bf16-grade passes; transform matrices amplify that
+    to ~0.5-pixel coordinate errors (found via tools/crosscheck), so all 3x3
+    composition/coordinate math runs exact."""
+    return jnp.einsum("...ij,...jk->...ik", a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 # ---------------------------------------------------------------------------
 # sampling
 # ---------------------------------------------------------------------------
@@ -97,7 +106,7 @@ def warp_perspective(img, matrix, out_hw, padding_mode="zeros", fill_value=0.0):
     )
     ones = jnp.ones_like(xs)
     dst = jnp.stack([xs, ys, ones], axis=-1)  # (out_h, out_w, 3)
-    src = dst @ inv.T
+    src = jnp.einsum("hwj,kj->hwk", dst, inv, precision=jax.lax.Precision.HIGHEST)
     sx = src[..., 0] / (src[..., 2] + 1e-8)
     sy = src[..., 1] / (src[..., 2] + 1e-8)
     return bilinear_sample(img, sx, sy, padding_mode=padding_mode, fill_value=fill_value)
@@ -132,7 +141,7 @@ def _basis_to_quad(pts):
     Q·λ = q4 by adjugate and scale the columns: A = Q·diag(λ)."""
     q = jnp.stack([pts[:, 0], pts[:, 1], jnp.ones_like(pts[:, 0])])  # (3, 4)
     Q = q[:, :3]
-    lam = inv3x3(Q) @ q[:, 3]
+    lam = jnp.einsum("ij,j->i", inv3x3(Q), q[:, 3], precision=jax.lax.Precision.HIGHEST)
     return Q * lam[None, :]
 
 
@@ -143,7 +152,7 @@ def homography_from_points(src_pts, dst_pts):
     H = A_dst · A_src⁻¹ where A_* map the projective basis onto each quad."""
     a_src = _basis_to_quad(src_pts)
     a_dst = _basis_to_quad(dst_pts)
-    return a_dst @ inv3x3(a_src)
+    return mm3(a_dst, inv3x3(a_src))
 
 
 def random_perspective(key, h, w, distortion_scale):

@@ -35,7 +35,7 @@ def _source_coords(matrix, out_hw, dtype):
         jnp.arange(out_h, dtype=dtype), jnp.arange(out_w, dtype=dtype), indexing="ij"
     )
     dst = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)
-    src = dst @ inv.T
+    src = jnp.einsum("hwj,kj->hwk", dst, inv, precision=jax.lax.Precision.HIGHEST)
     sx = src[..., 0] / (src[..., 2] + 1e-8)
     sy = src[..., 1] / (src[..., 2] + 1e-8)
     return sx, sy

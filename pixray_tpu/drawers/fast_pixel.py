@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 from pixray_tpu.drawers.base import DrawingInterface
 from pixray_tpu.ops.grad import clamp_with_grad
+from pixray_tpu.ops.pool import nearest_resize
 
 
 def _grid_for_canvas(settings):
@@ -63,7 +64,5 @@ class FastPixelDrawer(DrawingInterface):
         return jnp.clip(z, 0.0, 1.0)
 
     def synth(self, model_params, z, iteration, key=None):
-        out = jax.image.resize(
-            z, (self.canvas_height, self.canvas_width, 3), method="nearest"
-        )
+        out = nearest_resize(z, self.canvas_height, self.canvas_width)
         return clamp_with_grad(out, 0.0, 1.0)

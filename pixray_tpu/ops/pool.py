@@ -72,6 +72,32 @@ def adaptive_avg_pool(x, out_h: int, out_w: int):
     return y.astype(x.dtype)
 
 
+def _nearest_matrix(in_size: int, out_size: int):
+    """(out, in) 0/1 matrix realizing nearest-neighbor resampling (jax.image
+    'nearest' convention: src = floor((i + 0.5) * in/out))."""
+    src = np.floor((np.arange(out_size) + 0.5) * in_size / out_size).astype(np.int64)
+    src = np.clip(src, 0, in_size - 1)
+    mat = np.zeros((out_size, in_size), np.float32)
+    mat[np.arange(out_size), src] = 1.0
+    return mat
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def nearest_resize(x, out_h: int, out_w: int):
+    """Nearest-neighbor resize as two 0/1 matmuls. x: (..., H, W, C).
+
+    jax.image.resize('nearest') is a gather whose TRANSPOSE is a scatter-add —
+    the slowest TPU primitive; as matmuls both directions run on the MXU."""
+    h, w = x.shape[-3], x.shape[-2]
+    row_mat = jnp.asarray(_nearest_matrix(h, out_h))
+    col_mat = jnp.asarray(_nearest_matrix(w, out_w))
+    y = jnp.einsum("oh,...hwc->...owc", row_mat, x,
+                   preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    y = jnp.einsum("pw,...owc->...opc", col_mat, y,
+                   preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    return y.astype(x.dtype)
+
+
 @partial(jax.jit, static_argnums=(1, 2))
 def adaptive_max_pool(x, out_h: int, out_w: int):
     """Torch-style adaptive max pool. x: (..., H, W, C)."""

@@ -174,6 +174,13 @@ def render_cutouts(
         )
     batch = jnp.concatenate(parts, axis=0)
 
+    # the post-warp pipeline runs bf16 on accelerators: the cutouts feed a bf16
+    # perceptor anyway, and jitter/noise are bandwidth-bound elementwise passes
+    dev = jax.config.jax_default_device
+    platform = dev.platform if dev is not None else jax.default_backend()
+    if platform != "cpu":
+        batch = batch.astype(jnp.bfloat16)
+
     if jitter_key is not None:
         keys = jax.random.split(jitter_key, batch.shape[0])
         batch = jax.vmap(partial(random_color_jitter, hue=0.1, saturation=0.1, p=0.8))(
@@ -186,7 +193,7 @@ def render_cutouts(
             k_fac, (batch.shape[0], 1, 1, 1), maxval=NOISE_FAC, dtype=batch.dtype
         )
         batch = batch + facs * jax.random.normal(k_noise, batch.shape, dtype=batch.dtype)
-    return batch
+    return batch.astype(jnp.float32)
 
 
 def make_cutouts(

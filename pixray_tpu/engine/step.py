@@ -235,13 +235,20 @@ def build_loss_fn(cfg: StepConfig, names_sink: list | None = None):
         loss_globals = {"cur_iteration": iteration, "embeds": embeds_last,
                         "fill_color": fill_color}
         for i, (loss_obj, weight) in enumerate(cfg.custom_losses):
-            out = loss_obj.get_loss(
-                cur_cutouts, img, cfg.args,
+            # user plug-ins may follow the reference's narrower get_loss signature
+            # (no key/params); pass only what they accept
+            import inspect
+
+            accepted = inspect.signature(loss_obj.get_loss).parameters
+            kwargs = dict(
                 globals=loss_globals,
                 lossGlobals=refs.get("loss_globals"),
-                key=jax.random.fold_in(k_loss, 1000 + i),
-                params=refs.get("loss_params", {}).get(i),
             )
+            if "key" in accepted:
+                kwargs["key"] = jax.random.fold_in(k_loss, 1000 + i)
+            if "params" in accepted:
+                kwargs["params"] = refs.get("loss_params", {}).get(i)
+            out = loss_obj.get_loss(cur_cutouts, img, cfg.args, **kwargs)
             if isinstance(out, (list, tuple)):
                 for j, l in enumerate(out):
                     add(f"loss:{type(loss_obj).__name__}:{j}", weight * l)

@@ -292,10 +292,16 @@ class Engine:
             mesh=self.mesh,
         )
 
-        # refs passed into every step call (weights/tables/targets)
+        # refs passed into every step call (weights/tables/targets); perceptor
+        # weights are FSDP-sharded over the mesh's model axis when present
+        from pixray_tpu.parallel.mesh import shard_perceptor_params
+
         self.refs = {
             "drawer_params": self.drawer.model_params,
-            "perceptors": {p.name: p.variables for p in self.perceptors},
+            "perceptors": {
+                p.name: shard_perceptor_params(p.variables, self.mesh)
+                for p in self.perceptors
+            },
             "image_prompts": image_prompt_arrays,
             "z_labels": self.z_labels,
             "z_orig_flat": self.z_orig_flat,

@@ -66,6 +66,29 @@ def replicated(tree, mesh: Mesh | None):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def shard_perceptor_params(variables, mesh: Mesh | None):
+    """FSDP-style weight sharding: 2D+ parameter leaves are sharded along their
+    largest dimension over the ``model`` axis (XLA all-gathers shards just-in-time
+    during the forward/backward).  With model=1 (or no mesh) this is replication.
+    """
+    if mesh is None or mesh.shape[MODEL_AXIS] <= 1:
+        return replicated(variables, mesh)
+    m = mesh.shape[MODEL_AXIS]
+
+    def shard_leaf(x):
+        if x.ndim >= 2:
+            # choose the largest axis divisible by the model-axis size
+            order = sorted(range(x.ndim), key=lambda i: -x.shape[i])
+            for axis in order:
+                if x.shape[axis] % m == 0:
+                    spec = [None] * x.ndim
+                    spec[axis] = MODEL_AXIS
+                    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(shard_leaf, variables)
+
+
 def pad_cuts_for_mesh(num_cuts: int, mesh: Mesh | None) -> int:
     """Round the cutout count up to a multiple of the data-axis size."""
     if mesh is None:

@@ -118,3 +118,16 @@ class TestCustomLossRegistration:
     def test_filters_via_settings(self, tmp_path):
         engine = run_short(tmp_path, filters="tiler")
         assert any("TilerFilter" in n for n in engine.loss_names)
+
+
+class TestPerceptorEnsemble:
+    def test_two_perceptors_different_resolutions(self, tmp_path):
+        """Multi-perceptor ensembles: per-resolution cutout banks, summed losses
+        (reference quality presets select up to 5 perceptors, pixray.py:1824-46)."""
+        engine = run_short(tmp_path, clip_models="TinyTest,TinyTest48", prompts="x|y")
+        names = engine.loss_names
+        # each perceptor scores each prompt
+        assert sum("TinyTest:" in n for n in names) == 2
+        assert sum("TinyTest48:" in n for n in names) == 2
+        sizes = {s.cut_size for s in engine.step_cfg.perceptors}
+        assert sizes == {32, 48}

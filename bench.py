@@ -24,6 +24,7 @@ import time
 
 # persistent compilation cache: the step graph is large and first-compile is slow
 # on remote-compile setups; cache hits make repeated bench runs start instantly
+os.environ.setdefault("PIXRAY_TPU_NO_DOWNLOAD", "1")  # zero-egress bench environment
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 import jax
 

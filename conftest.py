@@ -15,6 +15,7 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("PIXRAY_TPU_NO_DOWNLOAD", "1")  # tests never fetch assets
 
 import jax  # noqa: E402
 

@@ -40,6 +40,10 @@ class SuperResolutionDrawer(DrawingInterface):
             entry = _global_model_cache[checkpoint_path]
         else:
             model = RRDBNet(num_feat=64, num_block=23, num_grow_ch=32, scale=4)
+            if not os.path.exists(checkpoint_path):
+                from pixray_tpu.utils.download import wget_file
+
+                wget_file(SUPERRESOLUTION_CHECKPOINT_TABLE[self.super_resolution_model], checkpoint_path)
             if os.path.exists(checkpoint_path):
                 import torch
 

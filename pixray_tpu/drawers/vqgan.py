@@ -18,8 +18,17 @@ from pixray_tpu.drawers.base import DrawingInterface
 from pixray_tpu.models.vqgan import VQGAN, VQGAN_CONFIGS, convert_taming_vqgan
 from pixray_tpu.ops.grad import clamp_with_grad
 
-# reference checkpoint URLs (vqgan.py:19-46), kept for provenance/docs; weights
-# are loaded from local files (zero-egress environments cannot download)
+# reference checkpoint URL table (vqgan.py:33-46); auto-downloaded on first use
+VQGAN_CHECKPOINT_URLS = {
+    "imagenet_f16_1024": "http://mirror.io.community/blob/vqgan/vqgan_imagenet_f16_1024.ckpt",
+    "imagenet_f16_16384": "https://heibox.uni-heidelberg.de/d/a7530b09fed84f80a887/files/?p=%2Fckpts%2Flast.ckpt&dl=1",
+    "imagenet_f16_16384m": "http://mirror.io.community/blob/vqgan/vqgan_imagenet_f16_16384.ckpt",
+    "openimages_f16_8192": "https://heibox.uni-heidelberg.de/d/2e5662443a6b4307b470/files/?p=%2Fckpts%2Flast.ckpt&dl=1",
+    "coco": "https://dl.nmkd.de/ai/clip/coco/coco.ckpt",
+    "wikiart_1024": "https://github.com/pixray/pixray/releases/download/v1.7.1/vqgan_wikiart_1024.ckpt",
+    "wikiart_16384": "https://github.com/pixray/pixray/releases/download/v1.7.1/vqgan_wikiart_16384.ckpt",
+    "sflckr": "https://heibox.uni-heidelberg.de/d/73487ab6e5314cb5adba/files/?p=%2Fcheckpoints%2Flast.ckpt&dl=1",
+}
 VQGAN_CHECKPOINT_TABLE = {
     name: f"models/vqgan_{name}.ckpt" for name in VQGAN_CONFIGS
 }
@@ -52,6 +61,10 @@ class VqganDrawer(DrawingInterface):
             if config is None:
                 raise ValueError(f"unknown VQGAN model {self.vqgan_model}")
             model = VQGAN(config)
+            if not os.path.exists(self.checkpoint_path) and self.vqgan_model in VQGAN_CHECKPOINT_URLS:
+                from pixray_tpu.utils.download import wget_file
+
+                wget_file(VQGAN_CHECKPOINT_URLS[self.vqgan_model], self.checkpoint_path)
             if os.path.exists(self.checkpoint_path):
                 import torch
 

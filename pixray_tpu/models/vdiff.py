@@ -126,6 +126,18 @@ class VDiffConfig:
     clip_embed_dim: int = 512
 
 
+# reference model URL table (vdiff.py:24-33)
+VDIFF_CHECKPOINT_URLS = {
+    "yfcc_2": "https://the-eye.eu/public/AI/models/v-diffusion/yfcc_2.pth",
+    "yfcc_1": "https://the-eye.eu/public/AI/models/v-diffusion/yfcc_1.pth",
+    "cc12m_1": "https://the-eye.eu/public/AI/models/v-diffusion/cc12m_1.pth",
+    "cc12m_1_cfg": "https://the-eye.eu/public/AI/models/v-diffusion/cc12m_1_cfg.pth",
+    "danbooru_128": "https://the-eye.eu/public/AI/models/v-diffusion/danbooru_128.pth",
+    "imagenet_128": "https://the-eye.eu/public/AI/models/v-diffusion/imagenet_128.pth",
+    "wikiart_128": "https://the-eye.eu/public/AI/models/v-diffusion/wikiart_128.pth",
+    "wikiart_256": "https://the-eye.eu/public/AI/models/v-diffusion/wikiart_256.pth",
+}
+
 VDIFF_CONFIGS = {
     "yfcc_2": VDiffConfig("yfcc_2", 512, 64, (1, 2, 4, 8), (2, 3)),
     "yfcc_1": VDiffConfig("yfcc_1", 512, 64, (1, 2, 4, 8), (2, 3)),
@@ -241,6 +253,10 @@ def load_vdiff_model(name: str):
     variables = model.init(key, jnp.zeros((1, r, r, 3)), jnp.zeros((1,)), clip_embed)
 
     ckpt = os.path.join(os.environ.get("PIXRAY_TPU_MODELS", "models"), f"{name}.pth")
+    if not os.path.exists(ckpt) and name in VDIFF_CHECKPOINT_URLS:
+        from pixray_tpu.utils.download import wget_file
+
+        wget_file(VDIFF_CHECKPOINT_URLS[name], ckpt)
     if os.path.exists(ckpt):
         print(
             f"NOTE: found {ckpt}; trained v-diffusion weight conversion requires the "

@@ -199,10 +199,17 @@ def process_args(parser, namespace=None, apply_side_effects=True, use_argv=False
     else:
         args = parser.parse_args(args=[], namespace=namespace)
 
+    # the YAML merge already happened in pass 1; drop the (unserializable) handle
+    if getattr(args, "config_file", None) is not None:
+        args.config_file.close()
+        args.config_file = None
+
     given_args = {
         opt.dest: getattr(args, opt.dest)
         for opt in parser._option_string_actions.values()
-        if hasattr(args, opt.dest) and opt.default != getattr(args, opt.dest)
+        if hasattr(args, opt.dest)
+        and opt.default != getattr(args, opt.dest)
+        and opt.dest != "config_file"
     }
     args.given_args = given_args
 

@@ -17,7 +17,6 @@ import jax.numpy as jnp
 
 from pixray_tpu.drawers.base import DrawingInterface
 from pixray_tpu.models.vdiff import (
-    VDIFF_CONFIGS,
     get_log_schedule,
     get_spliced_ddpm_cosine_schedule,
     load_vdiff_model,

@@ -15,10 +15,8 @@ host-side control (Python-level cadence decisions, PIL round-trips, file IO).
 from __future__ import annotations
 
 import hashlib
-import math
 import os
 import random
-import time
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ steps, so they stay in Python by design.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 def apply_overlay(args, cur_it: int) -> bool:

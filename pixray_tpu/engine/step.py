@@ -20,7 +20,7 @@ Structure of the loss (ascend_txt parity, pixray.py:1243-1406):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Any, Callable
 

@@ -36,7 +36,7 @@ class EdgeLoss(LossInterface):
         self.target_image = None
         self.mask = None
         if settings.edge_input_image:
-            from pixray_tpu.io.images import open_images, to_tensor
+            from pixray_tpu.io.images import open_images
 
             img = open_images(settings.edge_input_image)[0].convert("RGB")
             self.target_image_pil = img

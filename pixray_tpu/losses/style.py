@@ -17,8 +17,6 @@ indices, and shuffles use jax.random.permutation.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -253,7 +251,7 @@ class StyleLoss(LossInterface):
         self.params = {"vgg": load_vgg16_params()}
         self.style_image = None
         if settings.style_file:
-            from pixray_tpu.io.images import open_images, to_tensor
+            from pixray_tpu.io.images import open_images
 
             self.style_pil = open_images(settings.style_file)[0].convert("RGB")
         else:

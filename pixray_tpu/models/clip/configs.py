@@ -7,7 +7,7 @@ parameters follow the published OpenAI CLIP family.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

@@ -19,12 +19,11 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pixray_tpu.ops.warp import inv3x3
-from pixray_tpu.ops.warp_batch import _source_coords, _transform_coords
+from pixray_tpu.ops.warp_batch import _source_coords
 
 K_TILE = 512  # output pixels per grid step
 

@@ -9,7 +9,6 @@ and which keeps every shape static under jit.
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax

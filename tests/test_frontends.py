@@ -74,4 +74,4 @@ def test_cli_config_file(tmp_path):
     from PIL import Image
 
     img = Image.open(tmp_path / "cfg_out" / "output.png")
-    assert img.info.get("pixray_prompts") == "['from config yaml']"
+    assert img.info.get("pixray_prompts") == "from config yaml"  # raw pre-split value, reference semantics

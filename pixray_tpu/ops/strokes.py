@@ -143,10 +143,17 @@ def render_strokes(points, widths, colors, basis, h: int, w: int, background,
         rgb = col[:3][None, None, :] * a[..., None]
         return jnp.concatenate([rgb, a[..., None]], axis=-1)
 
+    # remat: without it the scan saves every chunk's distance-field residuals for
+    # the backward pass (O(strokes × segments × H × W) — tens of GB at 1024
+    # strokes); recomputing coverage in the backward keeps memory at one chunk
+    @jax.checkpoint
+    def merged_chunk(s, wd, col):
+        layers = jax.vmap(chunk_layer)(s, wd, col)  # (chunk, H, W, 4) premult
+        return _reduce_over(layers)
+
     def body(canvas, args):
         s, wd, col = args
-        layers = jax.vmap(chunk_layer)(s, wd, col)  # (chunk, H, W, 4) premult
-        merged = _reduce_over(layers)
+        merged = merged_chunk(s, wd, col)
         return _over(merged, canvas), None
 
     canvas, _ = jax.lax.scan(body, canvas, (samples_c, widths_c, colors_c))

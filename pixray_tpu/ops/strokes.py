@@ -64,23 +64,22 @@ def _point_segment_dist2(px, py, ax, ay, bx, by):
 def stroke_coverage(samples, width, h: int, w: int):
     """Coverage field of one stroke. samples: (P, 2) polyline; width scalar.
 
-    Running-min over segments keeps memory at one (H, W) buffer.
+    All P-1 segments are evaluated in one vectorized pass then min-reduced —
+    a sequential per-segment loop would serialize chunks×segments tiny VPU steps
+    (latency-bound on TPU); the (P-1, H, W) transient stays chunk-local under
+    the caller's remat.
     """
     ys, xs = jnp.meshgrid(
         jnp.arange(h, dtype=samples.dtype) + 0.5,
         jnp.arange(w, dtype=samples.dtype) + 0.5,
         indexing="ij",
     )
-    p = samples.shape[0]
-
-    def body(k, d2min):
-        a = samples[k]
-        b = samples[k + 1]
-        d2 = _point_segment_dist2(xs, ys, a[0], a[1], b[0], b[1])
-        return jnp.minimum(d2min, d2)
-
-    d2 = jax.lax.fori_loop(0, p - 1, body, jnp.full((h, w), 1e10, samples.dtype))
-    dist = jnp.sqrt(d2 + 1e-12)
+    a = samples[:-1]  # (P-1, 2)
+    b = samples[1:]
+    d2 = jax.vmap(
+        lambda aa, bb: _point_segment_dist2(xs, ys, aa[0], aa[1], bb[0], bb[1])
+    )(a, b)  # (P-1, H, W)
+    dist = jnp.sqrt(jnp.min(d2, axis=0) + 1e-12)
     # linear 1px anti-aliasing ramp around the stroke boundary
     return jnp.clip(width / 2.0 + 0.5 - dist, 0.0, 1.0)
 

@@ -522,7 +522,22 @@ class Engine:
             OUT.do_video(args, self.cur_iteration)
         if args.save_intermediates:
             OUT.step_to_video(args)
+        if getattr(args, "save_svg", False):
+            self.save_svg()
         return True
+
+    def save_svg(self):
+        """Vector export for drawers that support it (pixel/clipdraw/line_sketch)."""
+        try:
+            svg = self.drawer.to_svg(self.z)
+        except NotImplementedError:
+            print(f"drawer {self.args.drawer} has no SVG export")
+            return None
+        outfile = get_file_path(self.args.outdir, self.args.output, ".svg")
+        with open(outfile, "w") as f:
+            f.write(svg)
+        print(f"saved {outfile}")
+        return outfile
 
     # ------------------------------------------------------------------ animation
     def _anim_filelist(self):

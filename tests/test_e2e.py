@@ -150,3 +150,15 @@ class TestEngineFeatures:
         img = np.asarray(engine.synth_image())
         # yellow overlay should dominate: R,G high; B low
         assert img[..., 2].mean() < img[..., 0].mean()
+
+
+def test_save_svg(tmp_path):
+    pixray.reset_settings()
+    pixray.add_settings(**tiny_settings(tmp_path, drawer="pixel", pixel_size=[8, 6],
+                                        save_svg=True, iterations=2, save_every=1))
+    settings = pixray.apply_settings()
+    pixray.do_init(settings)
+    pixray.do_run(settings)
+    svg_path = os.path.join(settings.outdir, "output.svg")
+    assert os.path.exists(svg_path)
+    assert "<svg" in open(svg_path).read()

@@ -183,3 +183,41 @@ class TestProfiling:
             pass
         assert t.counts["a"] == 2
         assert "a:" in t.report()
+
+
+class TestHttpServing:
+    def test_multipart_streaming(self, tmp_path, monkeypatch):
+        import http.client
+        import threading
+        import yaml
+        from http.server import HTTPServer
+
+        import pixray_tpu.serve.predictors as P
+        from pixray_tpu.serve.http import PredictionHandler
+        from tests.test_e2e import tiny_settings
+
+        cogs = tmp_path / "cogs"
+        cogs.mkdir()
+        (cogs / "pixrayapi.yaml").write_text(
+            yaml.dump(tiny_settings(tmp_path, iterations=2, display_every=1, save_every=1))
+        )
+        monkeypatch.setattr(P, "COGS_DIR", str(cogs))
+
+        server = HTTPServer(("127.0.0.1", 0), PredictionHandler)
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+            conn.request("GET", "/products")
+            assert b"pixrayapi" in conn.getresponse().read()
+
+            conn.request("POST", "/predictions/pixrayapi", body=b"{}")
+            resp = conn.getresponse()
+            assert resp.status == 200
+            assert "multipart" in resp.getheader("Content-Type", "")
+            body = resp.read()
+            assert body.count(b"Content-Type: image/png") >= 1
+            assert b"\x89PNG" in body
+        finally:
+            server.shutdown()

@@ -14,6 +14,9 @@ import urllib.request
 
 
 def wget_file(url: str, out: str) -> bool:
+    if os.environ.get("PIXRAY_TPU_NO_DOWNLOAD") == "1":
+        print(f"PIXRAY_TPU_NO_DOWNLOAD=1: skipping fetch of {out}")
+        return False
     d = os.path.dirname(out)
     if d:
         os.makedirs(d, exist_ok=True)

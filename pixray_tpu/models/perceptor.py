@@ -161,7 +161,10 @@ class Perceptor:
             f"WARNING: no checkpoint found for perceptor {name} — initializing random "
             f"weights (set $PIXRAY_TPU_MODELS or place weights under models/)."
         )
-        key = jax.random.PRNGKey(abs(hash(name)) % (2**31))
+        import hashlib
+
+        stable = int.from_bytes(hashlib.sha256(name.encode()).digest()[:4], "big")
+        key = jax.random.PRNGKey(stable % (2**31))
         dummy_img = jnp.zeros((1, self.input_resolution, self.input_resolution, 3))
         dummy_tok = jnp.zeros((1, self.config.context_length), dtype=jnp.int32)
         return self.model.init(key, dummy_img, dummy_tok)

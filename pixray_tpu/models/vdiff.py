@@ -247,7 +247,11 @@ def load_vdiff_model(name: str):
 
     cfg = VDIFF_CONFIGS[name]
     model = VDiffUNet(cfg)
-    key = jax.random.PRNGKey(hash(name) % (2**31))
+    import hashlib
+
+    key = jax.random.PRNGKey(
+        int.from_bytes(hashlib.sha256(name.encode()).digest()[:4], "big") % (2**31)
+    )
     r = min(cfg.resolution, 64)
     clip_embed = jnp.zeros((1, cfg.clip_embed_dim)) if cfg.clip_model else None
     variables = model.init(key, jnp.zeros((1, r, r, 3)), jnp.zeros((1,)), clip_embed)

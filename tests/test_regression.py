@@ -13,7 +13,7 @@ import pixray_tpu as pixray
 from tests.test_e2e import tiny_settings
 
 # recorded 2026-08-16 (round 1), jax 0.9.0, CPU
-EXPECTED_TRAJECTORY = [1.569194, 1.389952, 1.421604]
+EXPECTED_TRAJECTORY = [1.014848, 0.908559, 0.856183]
 
 
 def test_seeded_trajectory(tmp_path):

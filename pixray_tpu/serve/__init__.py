@@ -1,0 +1,3 @@
+from .predictors import PRODUCTS, BasePixrayPredictor
+
+__all__ = ["PRODUCTS", "BasePixrayPredictor"]

@@ -131,3 +131,51 @@ class TestPerceptorEnsemble:
         assert sum("TinyTest48:" in n for n in names) == 2
         sizes = {s.cut_size for s in engine.step_cfg.perceptors}
         assert sizes == {32, 48}
+
+
+class TestHeavyLossesInEngine:
+    def test_style_loss_engine(self, tmp_path):
+        from PIL import Image
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        style_file = tmp_path / "style.png"
+        Image.fromarray((rng.random((64, 64, 3)) * 255).astype("uint8")).save(style_file)
+        engine = run_short(
+            tmp_path, size=[72, 48], custom_loss="style:0.5",
+            style_file=str(style_file), styleloss_skip=0,
+        )
+        assert any("StyleLoss" in n for n in engine.loss_names)
+
+    def test_resmem_loss_engine(self, tmp_path):
+        engine = run_short(tmp_path, custom_loss="resmem")
+        assert any("ResmemLoss" in n for n in engine.loss_names)
+
+    def test_aesthetic_loss_engine(self, tmp_path):
+        engine = run_short(tmp_path, custom_loss="aesthetic")
+        assert any("AestheticLoss" in n for n in engine.loss_names)
+
+    def test_instance_settings_arrow_args(self, tmp_path):
+        # 'loss->arg' instance-argument splitting (reference pixray.py:966-981)
+        engine = run_short(tmp_path, custom_loss="saturation->extra:0.5")
+        assert any("SaturationLoss" in n for n in engine.loss_names)
+
+
+class TestAspectRetain:
+    def test_retain_uses_init_image_aspect(self, tmp_path):
+        from PIL import Image
+
+        src = tmp_path / "wide.png"
+        Image.new("RGB", (200, 100), (10, 10, 10)).save(src)
+        import pixray_tpu as pixray
+
+        pixray.reset_settings()
+        pixray.add_settings(
+            drawer="fast_pixel", clip_models="TinyTest", prompts="x",
+            aspect="retain", scale=1, init_image=str(src), iterations=2,
+            save_every=1, vector_prompts="none", num_cuts=4, seed=1,
+            outdir=str(tmp_path / "out"), save_intermediates=False,
+            learning_rate_drops=[],
+        )
+        settings = pixray.apply_settings()
+        assert settings.size == [144, 72]  # 144*scale x 144*aspect*scale

@@ -69,15 +69,19 @@ def load_image_for_perceptor(path: str, resolution: int) -> np.ndarray:
 
 
 def default_spot_mask(size: int, aspect: float) -> np.ndarray:
-    """Procedural spot mask: soft centered ellipse (~40% area), replacing the
-    reference's bundled inputs/spot_{square,wide}.png assets (pixray.py:377-394).
-    Returns a float (size, size) array in {0,1}: 1 = spot region."""
+    """Procedural spot mask replacing the reference's bundled
+    inputs/spot_{square,wide}.png assets (pixray.py:377-394).
+
+    Convention matches those assets: WHITE (1) = background ring, BLACK (0) =
+    the centered subject ellipse (~40% area).  Spot prompts zero the white
+    region (pixray.py:453-466), so they score the centered subject; spot_off
+    prompts score the ring."""
     ys, xs = np.mgrid[0:size, 0:size].astype(np.float32)
     cx = cy = (size - 1) / 2
     rx = size * (0.42 if aspect <= 1 else 0.48)
     ry = size * 0.36
-    mask = ((xs - cx) / rx) ** 2 + ((ys - cy) / ry) ** 2 <= 1.0
-    return mask.astype(np.float32)
+    subject = ((xs - cx) / rx) ** 2 + ((ys - cy) / ry) ** 2 <= 1.0
+    return 1.0 - subject.astype(np.float32)
 
 
 def load_spot_mask(spot_file, size: int, aspect: float) -> np.ndarray:

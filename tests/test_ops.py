@@ -125,3 +125,20 @@ class TestCutoutPipeline:
         b1 = render_cutouts(work, t, 32, reflect_padding=True, fill_color=jnp.float32(0.3), noise_key=k_noise)
         b2 = render_cutouts(work, t, 32, reflect_padding=True, fill_color=jnp.float32(0.3), noise_key=k_noise)
         np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+
+
+class TestSpotMasks:
+    def test_default_mask_orientation(self):
+        """spot=on must keep the CENTER (foreground) visible: the procedural mask
+        is white=background ring, and keep_on = 1-white (reference zeroes the
+        >=0.5 region for spot prompts, pixray.py:453-466)."""
+        from pixray_tpu.io.images import default_spot_mask, load_spot_mask
+
+        mask = default_spot_mask(64, 1.0)
+        h = 64 // 2
+        assert mask[h, h] == 0.0  # center is NOT background
+        assert mask[1, 1] == 1.0  # corner IS background
+
+        keep_on = 1.0 - (load_spot_mask(None, 64, 1.0) >= 0.5)
+        assert keep_on[h, h] == 1.0  # spot cutouts keep the center
+        assert keep_on[1, 1] == 0.0  # ...and zero the ring

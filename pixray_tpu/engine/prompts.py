@@ -109,8 +109,10 @@ def find_vector_file(name: str):
     """Locate a vector-prompt JSON (reference pixray.py:887-905)."""
     if "json" in name:
         return name if os.path.exists(name) else None
+    pkg_dir = os.path.dirname(os.path.dirname(__file__))
     for base in (os.environ.get("PIXRAY_TPU_VECTORS", ""), "vectors",
-                 os.path.join(os.path.dirname(os.path.dirname(__file__)), "vectors")):
+                 os.path.join(pkg_dir, "vectors"),
+                 os.path.join(os.path.dirname(pkg_dir), "vectors")):
         if not base:
             continue
         path = os.path.join(base, f"{name}.json")

@@ -156,6 +156,7 @@ def build_loss_fn(cfg: StepConfig, names_sink: list | None = None):
                     add(f"{spec.name}:spot{i}", sl[i])
             if spec.spot_off_table.size:
                 spot_cuts = render(work * spec.spot_keep_off[..., None], noise_key=k_spot_off_n)
+                spot_cuts = shard_cutout_batch(spot_cuts, cfg.mesh)
                 iii_so = spec.image_fn(refs["perceptors"][spec.name], spot_cuts)
                 sl = prompt_losses(iii_so, spec.spot_off_table)
                 for i in range(spec.spot_off_table.size):
@@ -179,6 +180,7 @@ def build_loss_fn(cfg: StepConfig, names_sink: list | None = None):
                         reflect_padding=reflect_padding, fill_color=fill_color,
                         noise_key=key_i,
                     )
+                    batch = shard_cutout_batch(batch, cfg.mesh)
                     embed = spec.image_fn(refs["perceptors"][spec.name], batch)
                     return single_prompt_loss(iii, embed, weight)
 
@@ -281,12 +283,42 @@ def build_step(cfg: StepConfig, optimizer, mesh=None, shard_cutouts=False):
         keys = jax.random.split(key, cfg.batches)
         # metrics come from the FIRST batch (reference checkin reads batch 0,
         # pixray.py:1466-1479); gradients accumulate over all batches
-        (total0, (vals0, img0)), grads_acc = value_grad_fn(
-            z, refs, keys[0], iteration, anim_index
-        )
-        for b in range(1, cfg.batches):
-            (_, _), g = value_grad_fn(z, refs, keys[b], iteration, anim_index)
-            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, g)
+        if cfg.batches == 1:
+            (total0, (vals0, img0)), grads_acc = value_grad_fn(
+                z, refs, keys[0], iteration, anim_index
+            )
+        else:
+            # ONE trace of the loss, scanned over batch keys — the compiled
+            # graph size is independent of `batches` (at quality=supreme the
+            # reference runs batches=4, pixray.py:1864-1878)
+            shapes = jax.eval_shape(
+                value_grad_fn, z, refs, keys[0], iteration, anim_index
+            )
+            (t_s, (v_s, i_s)), g_s = shapes
+
+            def zeros_of(s):
+                return jax.tree_util.tree_map(
+                    lambda a: jnp.zeros(a.shape, a.dtype), s
+                )
+
+            carry0 = (zeros_of(g_s), zeros_of(t_s), zeros_of(v_s), zeros_of(i_s))
+
+            def body(carry, inp):
+                b, k = inp
+                grads_acc, total0, vals0, img0 = carry
+                (total, (vals, img)), g = value_grad_fn(
+                    z, refs, k, iteration, anim_index
+                )
+                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, g)
+                first = b == 0
+                total0 = jnp.where(first, total, total0)
+                vals0 = jnp.where(first, vals, vals0)
+                img0 = jnp.where(first, img, img0)
+                return (grads_acc, total0, vals0, img0), None
+
+            (grads_acc, total0, vals0, img0), _ = jax.lax.scan(
+                body, carry0, (jnp.arange(cfg.batches), keys)
+            )
 
         updates, opt_state = optimizer.update(grads_acc, opt_state, z)
         # LR-drop schedule: uniform scale over all param groups (reference divides

@@ -94,3 +94,55 @@ class TestControlLoop:
             keep = engine.train(it)
             it += 1
         assert it < 30, "auto_stop must end the run on a stale plateau"
+
+
+class TestVectorPrompts:
+    """The default --vector_prompts textoff must APPLY (assets shipped in
+    vectors/, converted from the reference's data files; pixray.py:887-915)."""
+
+    def _args(self, **kw):
+        from types import SimpleNamespace
+
+        base = dict(
+            prompts=[], vector_prompts=["textoff"], spot_prompts=[],
+            spot_prompts_off=[], labels=[], noise_prompt_seeds=None,
+            noise_prompt_weights=None, animation_dir=None,
+        )
+        base.update(kw)
+        return SimpleNamespace(**base)
+
+    def test_textoff_asset_found(self):
+        from pixray_tpu.engine.prompts import find_vector_file
+
+        path = find_vector_file("textoff")
+        assert path is not None, "vectors/textoff.json must ship with the repo"
+        import json
+
+        with open(path) as f:
+            table = json.load(f)
+        # the reference asset covers the CLIP + SLIP model families
+        for name in ("RN50", "RN101", "RN50x4", "ViT-B/32", "ViT-B/16", "SLIP_VITB16"):
+            assert name in table
+
+    def test_textoff_row_applied_for_covered_perceptor(self):
+        from types import SimpleNamespace
+
+        from pixray_tpu.engine.prompts import build_prompt_tables
+
+        perceptor = SimpleNamespace(name="ViT-B/32", output_dim=512)
+        tables, *_ = build_prompt_tables(self._args(), [perceptor])
+        table = tables["ViT-B/32"]
+        assert table.size == 1  # the textoff row
+        assert float(table.weights[0]) == pytest.approx(0.1)  # 0.1x scaling
+
+    def test_uncovered_perceptor_warns_and_continues(self, capsys):
+        from types import SimpleNamespace
+
+        from pixray_tpu.engine.prompts import build_prompt_tables
+
+        perceptor = SimpleNamespace(name="TinyTest", output_dim=64)
+        tables, *_ = build_prompt_tables(self._args(), [perceptor])
+        assert tables["TinyTest"].size == 0
+        out = capsys.readouterr().out
+        assert "no vector for TinyTest" in out
+        assert "not found" not in out  # the FILE is present

@@ -22,12 +22,28 @@ from functools import lru_cache
 CONTEXT_LENGTH = 77
 VOCAB_SIZE = 49408
 
-_TOKEN_PATTERN = re.compile(
-    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"""
-    if False
-    else r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
-    re.IGNORECASE,
-)
+# the exact OpenAI CLIP token-split pattern needs unicode property classes
+# (\p{L}, \p{N}); the stdlib re module can't express them, so use the `regex`
+# module when present and an ASCII approximation otherwise (parity requires it
+# — see tests/test_tokenizer_parity.py)
+try:
+    import regex as _re
+
+    _TOKEN_PATTERN = _re.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+        _re.IGNORECASE,
+    )
+except ImportError:  # pragma: no cover
+    _re = re
+    _TOKEN_PATTERN = re.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
+        re.IGNORECASE,
+    )
+
+try:  # ftfy fixes mojibake before cleaning (identity on well-formed text)
+    import ftfy as _ftfy
+except ImportError:  # pragma: no cover
+    _ftfy = None
 
 
 @lru_cache()
@@ -58,6 +74,8 @@ def get_pairs(word):
 
 
 def _basic_clean(text: str) -> str:
+    if _ftfy is not None:
+        text = _ftfy.fix_text(text)
     text = html.unescape(html.unescape(text))
     return text.strip()
 
@@ -89,7 +107,7 @@ class SimpleTokenizer:
             with gzip.open(bpe_path, "rt", encoding="utf-8") as f:
                 merges = f.read().split("\n")
             merges = merges[1 : 49152 - 256 - 2 + 1]
-            merges = [tuple(m.split()) for m in merges]
+            merges = [tuple(m.split()) for m in merges if m.strip()]
             vocab = list(bytes_to_unicode().values())
             vocab = vocab + [v + "</w>" for v in vocab]
             for merge in merges:
@@ -158,7 +176,7 @@ class SimpleTokenizer:
     def encode(self, text: str) -> list[int]:
         bpe_tokens: list[int] = []
         text = _whitespace_clean(_basic_clean(text)).lower()
-        for token in re.findall(_TOKEN_PATTERN, text):
+        for token in _re.findall(_TOKEN_PATTERN, text):
             token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
             bpe_tokens.extend(
                 self.encoder[t] for t in self.bpe(token).split(" ") if t in self.encoder

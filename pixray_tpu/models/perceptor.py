@@ -43,6 +43,7 @@ def adjust_range(img, out_lo=0.0, out_hi=1.0):
 
 
 _CKPT_ALIASES = {
+    "TinyTest": ["tinytest.pt"],  # offline converter/e2e validation harness
     "ViT-B/32": ["ViT-B-32.pt", "vit_b_32.pt"],
     "ViT-B/16": ["ViT-B-16.pt", "vit_b_16.pt"],
     "ViT-L/14": ["ViT-L-14.pt"],
@@ -155,6 +156,7 @@ class Perceptor:
                 variables = convert_openai_clip(sd, self.config)
             n_params = sum(np.prod(v.shape) for v in jax.tree_util.tree_leaves(variables["params"]))
             print(f"Loaded perceptor {name}: {self.input_resolution}px, {n_params / 1e6:.2f}M params")
+            self._require_checkpoint_tokenizer(name)
             return jax.tree_util.tree_map(jnp.asarray, variables)
 
         print(
@@ -168,6 +170,28 @@ class Perceptor:
         dummy_img = jnp.zeros((1, self.input_resolution, self.input_resolution, 3))
         dummy_tok = jnp.zeros((1, self.config.context_length), dtype=jnp.int32)
         return self.model.init(key, dummy_img, dummy_tok)
+
+    @staticmethod
+    def _require_checkpoint_tokenizer(name):
+        """Real weights + fallback tokenizer = meaningless text embeddings.
+
+        The reference's value rests on frozen pretrained perceptors fed by
+        CLIP's exact BPE ids (/root/reference/slip.py:77-82); silently pairing a
+        converted checkpoint with byte-level fallback ids would produce garbage
+        scores, so fail loudly (overridable for image-prompt-only workflows).
+        """
+        from .clip.tokenizer import get_tokenizer
+
+        if get_tokenizer().degraded and os.environ.get(
+            "PIXRAY_TPU_ALLOW_DEGRADED_TOKENIZER"
+        ) != "1":
+            raise RuntimeError(
+                f"Perceptor {name!r} loaded REAL checkpoint weights but the CLIP "
+                "BPE vocab (bpe_simple_vocab_16e6.txt.gz) is missing — text "
+                "embeddings would be meaningless. Place the vocab under models/ "
+                "or set $PIXRAY_TPU_BPE; to proceed anyway (image prompts only) "
+                "set PIXRAY_TPU_ALLOW_DEGRADED_TOKENIZER=1."
+            )
 
     # ------------------------------------------------------------------- encode
     def preprocess(self, imgs):

@@ -36,28 +36,33 @@ from pixray_tpu.ops.pool import adaptive_avg_pool, adaptive_max_pool
 from pixray_tpu.ops.warp_batch import warp_batch as _xla_warp_batch
 
 
-def _select_warp():
+def warp_batch(work, matrices, cut_size, **kwargs):
     """Warp backend: the fused Pallas kernel (ops/pallas_warp.py) on accelerators,
     the XLA path on CPU.  PIXRAY_TPU_PALLAS=0 forces XLA, =1 forces Pallas.
 
     The Pallas kernel is both ~2.4x faster (195→82 ms/step at 64 cutouts on v5e)
     AND the only correct warp on the current TPU backend: tools/crosscheck showed
     the XLA dual-2D-index bilinear gather mis-executes there (Pallas matches the
-    CPU ground truth to 4e-3; the XLA gather is off by up to 0.93)."""
+    CPU ground truth to 4e-3; the XLA gather is off by up to 0.93).
+
+    Dispatch uses ``jax.lax.platform_dependent``, which resolves against the
+    platform the computation is actually LOWERED for — correct under explicit
+    ``jax.device_put``/``shard_map`` placement, where sniffing the process-global
+    default device would lie.  Only the selected branch is lowered, so the Pallas
+    kernel never has to compile on CPU."""
     mode = os.environ.get("PIXRAY_TPU_PALLAS", "auto")
     if mode == "0":
-        return _xla_warp_batch
-    dev = jax.config.jax_default_device
-    platform = dev.platform if dev is not None else jax.default_backend()
-    if mode == "1" or (mode == "auto" and platform != "cpu"):
-        from pixray_tpu.ops.pallas_warp import pallas_warp_batch
+        return _xla_warp_batch(work, matrices, cut_size, **kwargs)
+    from pixray_tpu.ops.pallas_warp import pallas_warp_batch
 
-        return pallas_warp_batch
-    return _xla_warp_batch
-
-
-def warp_batch(*args, **kwargs):
-    return _select_warp()(*args, **kwargs)
+    if mode == "1":
+        return pallas_warp_batch(work, matrices, cut_size, **kwargs)
+    return jax.lax.platform_dependent(
+        work,
+        matrices,
+        cpu=lambda w, m: _xla_warp_batch(w, m, cut_size, **kwargs),
+        default=lambda w, m: pallas_warp_batch(w, m, cut_size, **kwargs),
+    )
 
 NOISE_FAC = 0.1
 ZOOM_FRACTION = 0.6
@@ -147,6 +152,7 @@ def render_cutouts(
     fill_color,
     noise_key,
     jitter_key=None,
+    compute_dtype=None,
 ):
     """Produce the (N, S, S, 3) cutout batch from the pooled working canvas.
 
@@ -155,6 +161,10 @@ def render_cutouts(
     fill_color: traced scalar — random gray fill for the wide branch.
     jitter_key: when given (live path), per-cutout hue/sat jitter is applied; the
     cached path (spot/image-prompt cutouts) skips jitter, like the reference.
+    compute_dtype: dtype for the post-warp elementwise pipeline (jitter/noise) —
+    the engine passes bfloat16 when the step's target devices are accelerators
+    (the cutouts feed a bf16 perceptor anyway and these passes are
+    bandwidth-bound); None keeps float32.
     """
     zoom_ms, wide_ms = transforms
 
@@ -174,12 +184,8 @@ def render_cutouts(
         )
     batch = jnp.concatenate(parts, axis=0)
 
-    # the post-warp pipeline runs bf16 on accelerators: the cutouts feed a bf16
-    # perceptor anyway, and jitter/noise are bandwidth-bound elementwise passes
-    dev = jax.config.jax_default_device
-    platform = dev.platform if dev is not None else jax.default_backend()
-    if platform != "cpu":
-        batch = batch.astype(jnp.bfloat16)
+    if compute_dtype is not None:
+        batch = batch.astype(compute_dtype)
 
     if jitter_key is not None:
         keys = jax.random.split(jitter_key, batch.shape[0])

@@ -1,4 +1,3 @@
 from . import images, output
-from .prefetch import IOConsumer, PrefetchReader
 
-__all__ = ["images", "output", "IOConsumer", "PrefetchReader"]
+__all__ = ["images", "output"]

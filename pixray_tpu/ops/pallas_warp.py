@@ -158,12 +158,6 @@ def _run_bwd(g, inv_matrices, work_shape, out_size, padding_mode, interpret):
     return dwork.transpose(1, 2, 0)
 
 
-def _kernel_available():
-    dev = jax.config.jax_default_device
-    platform = dev.platform if dev is not None else jax.default_backend()
-    return platform != "cpu"
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def pallas_warp(work, inv_matrices, out_size, padding_mode, interpret=False):
     return _run_fwd(work, inv_matrices, out_size, padding_mode, interpret)

@@ -4,6 +4,8 @@ import os
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 from PIL import Image
 
 import pixray_tpu as pixray

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from pixray_tpu.models.clip.configs import CLIPConfig
 from pixray_tpu.models.clip.model import CLIP
 

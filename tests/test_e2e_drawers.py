@@ -5,6 +5,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import pixray_tpu as pixray
 from tests.test_e2e import tiny_settings
 

@@ -1,5 +1,9 @@
 """Front-end tests: CLI argv path (pixray.py) and the YAML runner (run.py)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import json
 import os
 import subprocess
@@ -75,3 +79,22 @@ def test_cli_config_file(tmp_path):
 
     img = Image.open(tmp_path / "cfg_out" / "output.png")
     assert img.info.get("pixray_prompts") == "from config yaml"  # raw pre-split value, reference semantics
+
+
+def test_validate_weights_harness_skips_cleanly(tmp_path):
+    """The real-checkpoint validation harness runs end-to-end with no assets:
+    every check skips, the report is written, exit code 0."""
+    import json
+
+    report = tmp_path / "parity.json"
+    out = run_proc(
+        [sys.executable, os.path.join(REPO, "tools", "validate_weights.py"),
+         "--report", str(report)],
+        cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    data = json.loads(report.read_text())
+    assert data["ok"] is True
+    assert set(data["skipped"]) == {
+        "clip_parity:ViT-B/32", "vqgan_decode:imagenet_f16_16384", "convergence"
+    }

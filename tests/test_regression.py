@@ -9,6 +9,8 @@ absorbs cross-version numeric noise while still catching real semantic changes.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import pixray_tpu as pixray
 from tests.test_e2e import tiny_settings
 

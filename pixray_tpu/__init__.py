@@ -15,6 +15,23 @@ or the one-liner ``pixray_tpu.run(prompts=..., drawer=...)``.
 
 from __future__ import annotations
 
+import os as _os
+
+# Honor an explicit $JAX_PLATFORMS even when a site hook has overridden the
+# jax_platforms config after jax read the env (some managed images force an
+# accelerator plugin in sitecustomize).  Only effective before backends
+# initialize; a no-op otherwise.
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        import jax as _jax
+
+        from jax._src import xla_bridge as _xb
+
+        if not _xb.backends_are_initialized():
+            _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 from pixray_tpu.registry import add_custom_loss  # noqa: F401
 
 _global_settings: dict = {}

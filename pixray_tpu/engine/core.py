@@ -259,6 +259,7 @@ class Engine:
                     name=p.name,
                     cut_size=p.input_resolution,
                     image_fn=p.image_fn,
+                    preprocess_fn=p.preprocess,
                     variables=p.variables,
                     table=tables[p.name],
                     spot_table=spot_tables[p.name],
@@ -270,6 +271,20 @@ class Engine:
                     image_prompt_weight=args.image_prompt_weight,
                 )
             )
+        from pixray_tpu.parallel.ensemble import ensemble_active
+
+        use_ensemble = ensemble_active(
+            self.mesh,
+            len(self.perceptors),
+            has_image_prompts=any(v is not None for v in image_prompt_arrays.values()),
+        )
+        if use_ensemble:
+            m = dict(self.mesh.shape)["model"]
+            print(
+                f"Placing {len(self.perceptors)} perceptors on {m} model-axis "
+                f"device groups (one member per group)"
+            )
+
         self.step_cfg = StepConfig(
             drawer=self.drawer,
             perceptors=specs,
@@ -288,16 +303,21 @@ class Engine:
             image_prompt_shuffle=args.image_prompt_shuffle,
             args=args,
             mesh=self.mesh,
+            compute_dtype=self._compute_dtype(),
+            ensemble=use_ensemble,
         )
 
-        # refs passed into every step call (weights/tables/targets); perceptor
-        # weights are FSDP-sharded over the mesh's model axis when present
-        from pixray_tpu.parallel.mesh import shard_perceptor_params
+        # refs passed into every step call (weights/tables/targets).  With
+        # ensemble placement each model group reads only its own member's
+        # (replicated) weights; otherwise weights are FSDP-sharded over the
+        # model axis
+        from pixray_tpu.parallel.mesh import replicated, shard_perceptor_params
 
+        place_weights = replicated if use_ensemble else shard_perceptor_params
         self.refs = {
             "drawer_params": self.drawer.model_params,
             "perceptors": {
-                p.name: shard_perceptor_params(p.variables, self.mesh)
+                p.name: place_weights(p.variables, self.mesh)
                 for p in self.perceptors
             },
             "image_prompts": image_prompt_arrays,
@@ -391,6 +411,21 @@ class Engine:
             # matching the reference's no-op reapply_from_tensor (vdiff.py:147-148)
             pass
 
+    def _compute_dtype(self):
+        """Dtype for the post-warp cutout pipeline, decided from the device set
+        the step will actually execute on (the mesh's devices when sharded, the
+        process default otherwise) — NOT a process-global default-device sniff,
+        which lies under explicit jax.device_put/shard_map placement.
+        $PIXRAY_TPU_COMPUTE_DTYPE (float32|bfloat16) overrides."""
+        override = os.environ.get("PIXRAY_TPU_COMPUTE_DTYPE")
+        if override:
+            return jnp.dtype(override)
+        if self.mesh is not None:
+            platforms = {d.platform for d in self.mesh.devices.flat}
+        else:
+            platforms = {jax.devices()[0].platform}
+        return jnp.bfloat16 if platforms - {"cpu"} else None
+
     # ------------------------------------------------------------------ train/run
     def train(self, cur_it: int) -> bool:
         """One optimizer step + host scheduling. Returns False when run should end."""
@@ -410,9 +445,18 @@ class Engine:
 
             self.key, k_step = jax.random.split(self.key)
             anim_index = 0 if self.cur_anim_index is None else self.cur_anim_index
-            self.z, self.opt_state, total, values, img = self._step(
-                self.z, self.opt_state, k_step, cur_it, anim_index, self.lr_scale, self.refs
-            )
+            try:
+                self.z, self.opt_state, total, values, img = self._step(
+                    self.z, self.opt_state, k_step, cur_it, anim_index, self.lr_scale, self.refs
+                )
+            except RuntimeError as e:
+                # OOM guidance parity (reference pixray.py:1625-1628); jax device
+                # OOMs surface as XlaRuntimeError (a RuntimeError subclass) with
+                # RESOURCE_EXHAUSTED status
+                print("Oops: runtime error:", e)
+                if "RESOURCE_EXHAUSTED" in str(e) or "emory" in str(e):
+                    print("Try reducing --num_cuts or --batches to save memory")
+                raise
             self.last_loss_values = values
             self.last_image = img
 

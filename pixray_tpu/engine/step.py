@@ -51,6 +51,11 @@ class PerceptorSpec:
     spot_keep_off: Any = None
     image_prompts: Any = None  # (K, H, W, 3) canvas-sized prompt images, or None
     image_prompt_weight: float | None = None
+    # batch preprocessing (range-stretch/resize/standardize) as a separate fn:
+    # the ensemble path hoists it OUT of the chunked per-device encode because
+    # adjust_range couples the whole batch via global min/max (slip.py:21-42);
+    # image_fn is then called with apply_preprocess=False on the chunks
+    preprocess_fn: Callable | None = None
 
 
 @dataclass
@@ -74,6 +79,17 @@ class StepConfig:
     image_prompt_shuffle: bool = False
     args: Any = None  # resolved settings namespace, for custom losses
     mesh: Any = None  # jax.sharding.Mesh for cutout-batch data parallelism
+    # dtype of the post-warp cutout pipeline: the engine sets bfloat16 when the
+    # step's target devices are accelerators (decided from the actual device set
+    # at build time, not a process-global default — see core.py)
+    compute_dtype: Any = None
+    # perceptor-ensemble placement on the mesh's model axis (one member per
+    # device group, parallel/ensemble.py); set by core.py via ensemble_active()
+    ensemble: bool = False
+
+
+def _no_preprocess(image_fn, variables, batch):
+    return image_fn(variables, batch, apply_preprocess=False)
 
 
 def build_loss_fn(cfg: StepConfig, names_sink: list | None = None):
@@ -117,7 +133,85 @@ def build_loss_fn(cfg: StepConfig, names_sink: list | None = None):
 
         cur_cutouts = {}
         embeds_last = None
-        for spec, pk in zip(cfg.perceptors, p_keys):
+
+        if cfg.ensemble:
+            # perceptor-ensemble placement: render every member's cutout batches
+            # (cheap, replicated), then score them all in ONE shard_map with one
+            # member per model-axis device group (parallel/ensemble.py).  Keys
+            # split exactly as the sequential path so both paths agree numerically.
+            from pixray_tpu.parallel.ensemble import EnsembleMember, ensemble_scores
+
+            job_batches = {"main": [], "target": [], "spot": [], "spot_off": []}
+            job_tables = {
+                "main": [s.table for s in cfg.perceptors],
+                "target": [s.target_table for s in cfg.perceptors],
+                "spot": [s.spot_table for s in cfg.perceptors],
+                "spot_off": [s.spot_off_table for s in cfg.perceptors],
+            }
+            for spec, pk in zip(cfg.perceptors, p_keys):
+                k_t, k_jit, k_noise, k_spot_n, k_spot_off_n, k_img_n = jax.random.split(pk, 6)
+                work = C.pool_to_work(img, spec.cut_size, cfg.aspect)
+                transforms = C.sample_cut_transforms(k_t, spec.cut_size, cfg.num_cuts, cfg.aspect)
+                render = partial(
+                    C.render_cutouts,
+                    transforms=transforms,
+                    cut_size=spec.cut_size,
+                    reflect_padding=reflect_padding,
+                    fill_color=fill_color,
+                    compute_dtype=cfg.compute_dtype,
+                )
+                main = render(work, noise_key=k_noise, jitter_key=k_jit)
+                cur_cutouts[spec.cut_size] = main
+                # preprocess whole batches HERE: adjust_range couples the batch
+                # via its global min/max, so it cannot run on per-device chunks
+                pre = spec.preprocess_fn if spec.preprocess_fn is not None else (lambda b: b)
+                main_p = pre(main)
+                job_batches["main"].append(main_p)
+                job_batches["target"].append(main_p)  # target prompts score the main embeds
+                job_batches["spot"].append(
+                    pre(render(work * spec.spot_keep_on[..., None], noise_key=k_spot_n))
+                    if spec.spot_table.size
+                    else main_p
+                )
+                job_batches["spot_off"].append(
+                    pre(render(work * spec.spot_keep_off[..., None], noise_key=k_spot_off_n))
+                    if spec.spot_off_table.size
+                    else main_p
+                )
+
+            members = [
+                EnsembleMember(
+                    s.name,
+                    partial(_no_preprocess, s.image_fn)
+                    if s.preprocess_fn is not None
+                    else s.image_fn,
+                    int(s.table.embeds.shape[1]),
+                )
+                for s in cfg.perceptors
+            ]
+            variables_list = [refs["perceptors"][s.name] for s in cfg.perceptors]
+            out_vals, embeds_last = ensemble_scores(
+                cfg.mesh,
+                members,
+                job_batches,
+                job_tables,
+                variables_list,
+                # the embeds global costs one replicated encode — only pay it
+                # when a custom loss can consume it (aesthetic, user plug-ins)
+                want_iii_of=len(cfg.perceptors) - 1 if cfg.custom_losses else None,
+            )
+            for pi, spec in enumerate(cfg.perceptors):
+                for i in range(spec.table.size):
+                    add(f"{spec.name}:prompt{i}", out_vals["main"][pi, i])
+                if spec.target_table.size:
+                    idx = anim_index % spec.target_table.size
+                    add(f"{spec.name}:target_frame", out_vals["target"][pi, idx])
+                for i in range(spec.spot_table.size):
+                    add(f"{spec.name}:spot{i}", out_vals["spot"][pi, i])
+                for i in range(spec.spot_off_table.size):
+                    add(f"{spec.name}:spot_off{i}", out_vals["spot_off"][pi, i])
+
+        for spec, pk in [] if cfg.ensemble else list(zip(cfg.perceptors, p_keys)):
             k_t, k_jit, k_noise, k_spot_n, k_spot_off_n, k_img_n = jax.random.split(pk, 6)
             work = C.pool_to_work(img, spec.cut_size, cfg.aspect)
             transforms = C.sample_cut_transforms(k_t, spec.cut_size, cfg.num_cuts, cfg.aspect)
@@ -128,6 +222,7 @@ def build_loss_fn(cfg: StepConfig, names_sink: list | None = None):
                 cut_size=spec.cut_size,
                 reflect_padding=reflect_padding,
                 fill_color=fill_color,
+                compute_dtype=cfg.compute_dtype,
             )
 
             main = render(work, noise_key=k_noise, jitter_key=k_jit)
@@ -178,7 +273,7 @@ def build_loss_fn(cfg: StepConfig, names_sink: list | None = None):
                     batch = C.render_cutouts(
                         p_work, t, spec.cut_size,
                         reflect_padding=reflect_padding, fill_color=fill_color,
-                        noise_key=key_i,
+                        noise_key=key_i, compute_dtype=cfg.compute_dtype,
                     )
                     batch = shard_cutout_batch(batch, cfg.mesh)
                     embed = spec.image_fn(refs["perceptors"][spec.name], batch)

@@ -82,6 +82,13 @@ CLIP_CONFIGS = {
         vision_width=64, vision_layers=2, vision_patch_size=16, vision_heads=2,
         context_length=77, vocab_size=49408, text_width=64, text_heads=2, text_layers=2,
     ),
+    # third tiny perceptor with a different embed dim (exercises the ensemble
+    # scorer's d_max padding)
+    "TinyTestDim48": CLIPConfig(
+        name="TinyTestDim48", embed_dim=48, image_resolution=32, vision_kind="vit",
+        vision_width=64, vision_layers=2, vision_patch_size=8, vision_heads=2,
+        context_length=77, vocab_size=49408, text_width=64, text_heads=2, text_layers=2,
+    ),
     "ViT-B/32": _vit("ViT-B/32", 512, 224, 768, 12, 32),
     "ViT-B/16": _vit("ViT-B/16", 512, 224, 768, 12, 16),
     "ViT-L/14": _vit("ViT-L/14", 768, 224, 1024, 24, 14),

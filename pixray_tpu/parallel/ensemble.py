@@ -1,0 +1,223 @@
+"""Perceptor-ensemble placement on the mesh's ``model`` axis.
+
+The reference runs up to 5 CLIP/SLIP perceptors SEQUENTIALLY on one GPU
+(quality=supreme, /root/reference/pixray.py:1824-1846, 1278-1336) — the ensemble
+is embarrassingly parallel (SURVEY.md §2.3).  Here each ensemble member is
+placed on its own ``model``-axis device group and every member's cutout batch is
+simultaneously split over the ``data`` axis, so a (data=D, model=M) mesh runs M
+perceptors concurrently, each D-way data-parallel.
+
+Mechanism (MPMD over SPMD): perceptor towers are heterogeneous (different
+resolutions, widths, architectures), so they cannot be stacked and vmapped.
+Instead ONE ``shard_map`` program runs on every device and selects its member
+with ``lax.switch(lax.axis_index('model'), ...)`` — XLA's conditional executes
+only the taken branch, so each device group runs only its own tower.  Per-prompt
+loss contributions are computed as local sums over the device's cutout chunk and
+``psum``-reduced over both axes; the backward pass transposes through the same
+switch, so each group also only runs its own tower's backward.
+
+``check_vma=False``: jax's varying-mesh-axes type system types the output of a
+switch on ``axis_index`` as INvarying over 'model' (the predicate's variance is
+not propagated), which both rejects the psum and — worse — mis-transposes the
+switch so every group runs member 0's backward.  With the checker disabled the
+per-device semantics are exact; tests/test_ensemble.py verifies value AND
+gradient against the sequential path on an 8-device CPU mesh.
+
+With P members and M groups, members are assigned round-robin (member p → group
+p % M) in ceil(P/M) rounds; per-device FLOPs drop from P towers to ceil(P/M).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pixray_tpu.ops.grad import l2_normalize, replace_grad
+from pixray_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+
+def ensemble_active(mesh, n_perceptors: int, has_image_prompts: bool = False) -> bool:
+    """Single predicate (used by core.py and step.py) for when member-per-group
+    placement engages: a model axis >1 and >1 perceptors.  Image-prompt terms
+    need per-member transient embeddings and stay on the auto-sharded path, so
+    their presence disables placement."""
+    return (
+        mesh is not None
+        and MODEL_AXIS in mesh.shape
+        and int(mesh.shape[MODEL_AXIS]) > 1
+        and n_perceptors > 1
+        and not has_image_prompts
+    )
+
+
+@dataclass
+class EnsembleMember:
+    """Static description of one ensemble member inside the shard_map program."""
+
+    name: str
+    image_fn: Callable  # (variables, (n, S, S, C) batch) -> (n, D) embeddings
+    out_dim: int
+
+
+def pad_table(table, l_max: int, d_max: int):
+    """Pad a PromptTable to (l_max, d_max) numpy arrays.
+
+    Padding rows have weight 0 (→ sign 0 → zero loss and zero gradient) and stop
+    -inf (→ max(0, stop) = 0); embedding rows are zero (l2_normalize is
+    eps-guarded, so they stay zero instead of NaN).
+    """
+    e = np.zeros((l_max, d_max), np.float32)
+    w = np.zeros((l_max,), np.float32)
+    s = np.full((l_max,), -np.inf, np.float32)
+    n, d = int(table.embeds.shape[0]), int(table.embeds.shape[1])
+    if n:
+        e[:n, :d] = np.asarray(table.embeds, np.float32)
+        w[:n] = np.asarray(table.weights, np.float32)
+        s[:n] = np.asarray(table.stops, np.float32)
+    return e, w, s
+
+
+def _partial_prompt_losses(emb_local, embeds, weights, stops, n_total: int):
+    """Local-chunk contribution to the per-prompt losses: identical math to
+    prompts.prompt_losses but summed over the local chunk and divided by the
+    GLOBAL cutout count, so a psum over the data axis reproduces the mean."""
+    d = emb_local.shape[-1]
+    x = l2_normalize(emb_local.astype(jnp.float32), axis=-1)
+    emb = l2_normalize(embeds[:, :d], axis=-1)
+    cos = jnp.clip(x @ emb.T, -1.0, 1.0)  # (chunk, L)
+    chord = jnp.sqrt(jnp.maximum(2.0 - 2.0 * cos, 1e-12))
+    dists = jnp.square(jnp.arcsin(chord / 2.0)) * 2.0
+    dists = dists * jnp.sign(weights)[None, :]
+    clamped = replace_grad(dists, jnp.maximum(dists, stops[None, :]))
+    return jnp.abs(weights) * jnp.sum(clamped, axis=0) / n_total
+
+
+def ensemble_scores(
+    mesh,
+    members: list[EnsembleMember],
+    job_batches: dict[str, list],
+    job_tables: dict[str, list],
+    variables_list,
+    want_iii_of: int | None = None,
+):
+    """Score every (member, job) pair with one ensemble member per model group.
+
+    job_batches: {kind: [per-member (N, S_m, S_m, C) cutout batch]} — replicated
+      arrays; N must be a multiple of the mesh's data-axis size.
+    job_tables: {kind: [per-member PromptTable]} — one table per member per kind.
+    variables_list: per-member weight pytrees (replicated; every device holds all
+      members, only its own is read — same memory as the sequential path).
+    want_iii_of: member index whose 'main' embeddings (N, D) to return (the
+      engine's ``embeds`` global for the aesthetic loss), or None.
+
+    Returns ({kind: (P, Lmax_kind) padded per-prompt loss values}, iii or None).
+    """
+    P = len(members)
+    M = int(mesh.shape[MODEL_AXIS])
+    D = int(mesh.shape[DATA_AXIS])
+    kinds = [k for k, tables in job_tables.items() if any(t.size for t in tables)]
+    n_total = int(job_batches["main"][0].shape[0])
+    assert n_total % D == 0, "cutout count must be padded to the data-axis size"
+    chunk = n_total // D
+    d_max = max(m.out_dim for m in members)
+    l_max = {k: max(t.size for t in job_tables[k]) for k in kinds}
+    rounds = -(-P // M)
+
+    # stacked padded tables: {kind: (P, Lmax, d_max) / (P, Lmax) / (P, Lmax)}
+    tables_dev = {}
+    for k in kinds:
+        packed = [pad_table(t, l_max[k], d_max) for t in job_tables[k]]
+        tables_dev[k] = tuple(jnp.asarray(np.stack(a)) for a in zip(*packed))
+
+    # kinds may alias batches (main/target score the same cutouts): dedupe here,
+    # BEFORE shard_map flattens the pytree into distinct tracers, so each unique
+    # batch is encoded exactly once per member
+    unique_batches: list = []
+    kind_to_slot: dict[str, list[int]] = {}
+    # 'main' is always slot-mapped (even when its tables are empty) so the iii
+    # request can encode it
+    for k in dict.fromkeys(["main", *kinds]):
+        slots = []
+        for b in job_batches[k]:
+            for si, u in enumerate(unique_batches):
+                if u is b:
+                    slots.append(si)
+                    break
+            else:
+                unique_batches.append(b)
+                slots.append(len(unique_batches) - 1)
+        kind_to_slot[k] = slots
+    batches_in = tuple(unique_batches)
+
+    def scored(batches, tables, variables):
+        m_idx = jax.lax.axis_index(MODEL_AXIS)
+        d_idx = jax.lax.axis_index(DATA_AXIS)
+
+        def zero_branch(_):
+            return tuple(jnp.zeros((l_max[k],), jnp.float32) for k in kinds)
+
+        def member_branch(p):
+            def fn(_):
+                vals = []
+                emb_cache: dict[int, Any] = {}  # slot -> embeddings, encode once
+
+                def get_emb(slot):
+                    if slot not in emb_cache:
+                        local = jax.lax.dynamic_slice_in_dim(
+                            batches[slot], d_idx * chunk, chunk, 0
+                        )
+                        emb_cache[slot] = members[p].image_fn(variables[p], local)
+                    return emb_cache[slot]
+
+                for k in kinds:
+                    emb = get_emb(kind_to_slot[k][p])
+                    e, w, s = tables[k]
+                    vals.append(_partial_prompt_losses(emb, e[p], w[p], s[p], n_total))
+                return tuple(vals)
+            return fn
+
+        acc_vals = {k: jnp.zeros((P, l_max[k]), jnp.float32) for k in kinds}
+        for r in range(rounds):
+            branches = [
+                member_branch(r * M + m) if r * M + m < P else zero_branch
+                for m in range(M)
+            ]
+            vals = jax.lax.switch(m_idx, branches, None)
+            member = r * M + m_idx
+            for i, k in enumerate(kinds):
+                row = jnp.zeros((P, l_max[k]), jnp.float32)
+                row = jax.lax.dynamic_update_slice_in_dim(
+                    row, vals[i][None, :], jnp.minimum(member, P - 1), 0
+                )
+                acc_vals[k] = acc_vals[k] + row
+
+        return {k: jax.lax.psum(v, (DATA_AXIS, MODEL_AXIS)) for k, v in acc_vals.items()}
+
+    from jax.sharding import PartitionSpec as Pspec
+
+    mapped = partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(Pspec(), Pspec(), Pspec()),
+        out_specs={k: Pspec() for k in kinds},
+        check_vma=False,
+    )(scored)
+    out_vals = mapped(batches_in, tables_dev, tuple(variables_list))
+
+    # the requested member's main-batch embeddings (engine "embeds" global for
+    # the aesthetic loss) are computed OUTSIDE the placed program, replicated:
+    # routing them through the shard_map trips a jax residual-sharding assertion
+    # under vjp, and they are only needed when an embeds-consuming custom loss
+    # is active (the engine passes want_iii_of=None otherwise)
+    iii = None
+    if want_iii_of is not None:
+        p = want_iii_of
+        iii = members[p].image_fn(
+            variables_list[p], job_batches["main"][p]
+        ).astype(jnp.float32)
+    return out_vals, iii

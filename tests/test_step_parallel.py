@@ -10,6 +10,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 from jax.sharding import Mesh
 
 from pixray_tpu.engine.optimizers import build_optimizer

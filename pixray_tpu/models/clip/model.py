@@ -27,14 +27,21 @@ def quick_gelu(x):
 
 
 class LayerNorm(nn.Module):
-    """fp32 LayerNorm returning the input dtype."""
+    """fp32 LayerNorm returning the input dtype.
+
+    PIXRAY_TPU_CLIP_LN32=0 keeps the normalization in the input dtype (perf
+    experiment knob; default fp32 matches the torch reference's stability
+    behavior)."""
 
     epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
+        import os
+
         orig_dtype = x.dtype
-        x = x.astype(jnp.float32)
+        if os.environ.get("PIXRAY_TPU_CLIP_LN32", "1") != "0":
+            x = x.astype(jnp.float32)
         mean = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.var(x, axis=-1, keepdims=True)
         y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
@@ -98,8 +105,15 @@ class Transformer(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None):
+        import os
+
+        block_cls = ResidualAttentionBlock
+        if os.environ.get("PIXRAY_TPU_CLIP_REMAT") == "1":
+            # rematerialize each block's activations in the backward pass:
+            # trades recompute FLOPs for HBM traffic (perf experiment knob)
+            block_cls = nn.remat(ResidualAttentionBlock)
         for i in range(self.layers):
-            x = ResidualAttentionBlock(
+            x = block_cls(
                 self.num_heads, dtype=self.dtype, act=self.act, name=f"resblock_{i}"
             )(x, mask)
         return x

@@ -264,7 +264,8 @@ def load_vdiff_model(name: str):
     if os.path.exists(ckpt):
         print(
             f"NOTE: found {ckpt}; trained v-diffusion weight conversion requires the "
-            "upstream layer map — run tools/convert_vdiff when available. Using "
+            "upstream layer map — run tools/validate_vdiff.py to audit the "
+            "checkpoint's layer-map signature against this UNet. Using "
             "architecture-matched random init for now."
         )
     else:

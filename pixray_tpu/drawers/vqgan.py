@@ -25,8 +25,12 @@ VQGAN_CHECKPOINT_URLS = {
     "imagenet_f16_16384m": "http://mirror.io.community/blob/vqgan/vqgan_imagenet_f16_16384.ckpt",
     "openimages_f16_8192": "https://heibox.uni-heidelberg.de/d/2e5662443a6b4307b470/files/?p=%2Fckpts%2Flast.ckpt&dl=1",
     "coco": "https://dl.nmkd.de/ai/clip/coco/coco.ckpt",
+    "faceshq": "https://app.koofr.net/content/links/a04deec9-0c59-4673-8b37-3d696fe63a5d/files/get/last.ckpt?path=%2F2020-11-13T21-41-45_faceshq_transformer%2Fcheckpoints%2Flast.ckpt",
     "wikiart_1024": "https://github.com/pixray/pixray/releases/download/v1.7.1/vqgan_wikiart_1024.ckpt",
+    "wikiart_1024m": "http://mirror.io.community/blob/vqgan/wikiart.ckpt",
     "wikiart_16384": "https://github.com/pixray/pixray/releases/download/v1.7.1/vqgan_wikiart_16384.ckpt",
+    "wikiart_16384m": "http://eaidata.bmk.sh/data/Wikiart_16384/wikiart_f16_16384_8145600.ckpt",
+    "wikiart_16384m2": "http://mirror.io.community/blob/vqgan/wikiart_16384.ckpt",
     "sflckr": "https://heibox.uni-heidelberg.de/d/73487ab6e5314cb5adba/files/?p=%2Fcheckpoints%2Flast.ckpt&dl=1",
 }
 VQGAN_CHECKPOINT_TABLE = {

@@ -57,11 +57,13 @@ def warp_batch(work, matrices, cut_size, **kwargs):
 
     if mode == "1":
         return pallas_warp_batch(work, matrices, cut_size, **kwargs)
+    # both branches must produce identical avals; the XLA path promotes low
+    # precision internally, so pin the output to the input dtype
     return jax.lax.platform_dependent(
         work,
         matrices,
-        cpu=lambda w, m: _xla_warp_batch(w, m, cut_size, **kwargs),
-        default=lambda w, m: pallas_warp_batch(w, m, cut_size, **kwargs),
+        cpu=lambda w, m: _xla_warp_batch(w, m, cut_size, **kwargs).astype(w.dtype),
+        default=lambda w, m: pallas_warp_batch(w, m, cut_size, **kwargs).astype(w.dtype),
     )
 
 NOISE_FAC = 0.1

@@ -47,6 +47,7 @@ VQGAN_CONFIGS = {
     "coco": VQGANConfig(n_embed=8192),
     "faceshq": VQGANConfig(n_embed=1024),
     "wikiart_1024": VQGANConfig(n_embed=1024),
+    "wikiart_1024m": VQGANConfig(n_embed=1024),
     "wikiart_16384": VQGANConfig(n_embed=16384),
     "wikiart_16384m": VQGANConfig(n_embed=16384),
     "wikiart_16384m2": VQGANConfig(n_embed=16384),

@@ -25,7 +25,31 @@ from jax.experimental.pallas import tpu as pltpu
 from pixray_tpu.ops.warp import inv3x3
 from pixray_tpu.ops.warp_batch import _source_coords
 
-K_TILE = 512  # output pixels per grid step
+import os
+
+K_TILE = int(os.environ.get("PIXRAY_TPU_WARP_KTILE", "512"))  # output pixels per grid step
+# matmul precision inside the kernel: "highest" (exact f32), "high" (manual
+# bf16 hi/lo split: 3 single-pass matmuls, ~f32 accuracy), "bf16" (single-pass;
+# hats+work quantized to bf16, f32 accumulate)
+WARP_PREC = os.environ.get("PIXRAY_TPU_WARP_PREC", "highest")
+
+
+def _mm(a, b):
+    """(T, H) @ (H, W) -> (T, W) f32 at the configured precision."""
+    if WARP_PREC == "highest":
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    if WARP_PREC == "bf16":
+        return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+    # "high": error-compensated bf16 (drop the lo*lo term) — matches f32 to
+    # ~2^-16 relative at 1/2 the passes of a 6-pass f32 matmul
+    a_hi = a.astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dot = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)
+    return dot(a_hi, b_hi) + dot(a_lo, b_hi) + dot(a_hi, b_lo)
 
 
 def _coords_for_tile(inv_ref, kt, out_size, dtype):
@@ -75,12 +99,12 @@ def _fwd_kernel(inv_ref, work_ref, out_ref, *, out_size, padding_mode, channels)
 
     u = jax.lax.broadcasted_iota(jnp.int32, (K_TILE, h), 1).astype(jnp.float32)
     v = jax.lax.broadcasted_iota(jnp.int32, (K_TILE, w), 1).astype(jnp.float32)
-    a = jnp.maximum(0.0, 1.0 - jnp.abs(sy - u)).astype(dtype)  # (T, H)
-    b = jnp.maximum(0.0, 1.0 - jnp.abs(sx - v)).astype(dtype)  # (T, W)
+    a = jnp.maximum(0.0, 1.0 - jnp.abs(sy - u)).astype(jnp.float32)  # (T, H)
+    b = jnp.maximum(0.0, 1.0 - jnp.abs(sx - v)).astype(jnp.float32)  # (T, W)
 
     for c in range(channels):
-        tmp = jnp.dot(a, work_ref[c], preferred_element_type=jnp.float32)  # (T, W)
-        out_ref[0, c, :] = jnp.sum(tmp * b.astype(jnp.float32), axis=1)
+        tmp = _mm(a, work_ref[c].astype(jnp.float32))  # (T, W)
+        out_ref[0, c, :] = jnp.sum(tmp * b, axis=1)
 
 
 def _bwd_kernel(inv_ref, g_ref, dwork_ref, *, out_size, padding_mode, channels):

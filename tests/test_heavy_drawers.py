@@ -12,6 +12,22 @@ pytestmark = pytest.mark.slow
 KEY = jax.random.PRNGKey(0)
 
 
+def test_vqgan_zoo_matches_reference():
+    """Zoo covers the reference's full 12-checkpoint table (vqgan.py:33-46)."""
+    from pixray_tpu.drawers.vqgan import VQGAN_CHECKPOINT_URLS
+    from pixray_tpu.models.vqgan import VQGAN_CONFIGS
+
+    expected = {
+        "imagenet_f16_1024", "imagenet_f16_16384", "imagenet_f16_16384m",
+        "openimages_f16_8192", "coco", "faceshq",
+        "wikiart_1024", "wikiart_1024m", "wikiart_16384", "wikiart_16384m",
+        "wikiart_16384m2", "sflckr",
+    }
+    assert set(VQGAN_CHECKPOINT_URLS) == expected
+    # every downloadable checkpoint has an architecture config
+    assert expected <= set(VQGAN_CONFIGS)
+
+
 class TestVQGANModel:
     @pytest.fixture(scope="class")
     def tiny(self):

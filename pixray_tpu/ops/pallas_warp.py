@@ -11,11 +11,19 @@ einsum formulation writes to HBM (~15 GB/step of traffic at 64 cutouts):
 Grid = (cutouts, K-tiles of output pixels); the work canvas stays resident in
 VMEM; dwork accumulates in a revisited output block.  Falls back transparently
 to ops/warp_batch.py off-TPU (tests run the kernel in interpret mode).
+
+Matmul precision is a per-call knob (measured on v5e, interleaved same-process
+benchmark): "bf16" (hats+work quantized to bf16, f32 accumulate, single MXU
+pass) is 3-4x faster than "highest" (exact f32) and its ~4e-3 output quantization
+is far below the noise_fac=0.1 augmentation noise added to every cutout
+downstream.  "highest" remains the numerics-reference mode (crosscheck tests,
+CPU-parity audits).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -25,25 +33,21 @@ from jax.experimental.pallas import tpu as pltpu
 from pixray_tpu.ops.warp import inv3x3
 from pixray_tpu.ops.warp_batch import _source_coords
 
-import os
-
-K_TILE = int(os.environ.get("PIXRAY_TPU_WARP_KTILE", "512"))  # output pixels per grid step
-# matmul precision inside the kernel: "highest" (exact f32), "high" (manual
-# bf16 hi/lo split: 3 single-pass matmuls, ~f32 accuracy), "bf16" (single-pass;
-# hats+work quantized to bf16, f32 accumulate)
-WARP_PREC = os.environ.get("PIXRAY_TPU_WARP_PREC", "highest")
+# defaults, overridable per call; env knobs kept for benchmarking sweeps
+K_TILE = int(os.environ.get("PIXRAY_TPU_WARP_KTILE", "512"))
+WARP_PREC = os.environ.get("PIXRAY_TPU_WARP_PREC", "bf16")
 
 
-def _mm(a, b):
-    """(T, H) @ (H, W) -> (T, W) f32 at the configured precision."""
-    if WARP_PREC == "highest":
+def _mm(a, b, prec):
+    """(T, H) @ (H, W) -> (T, W) f32 at the requested precision."""
+    if prec == "highest":
         return jnp.dot(a, b, preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
-    if WARP_PREC == "bf16":
+    if prec == "bf16":
         return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
     # "high": error-compensated bf16 (drop the lo*lo term) — matches f32 to
-    # ~2^-16 relative at 1/2 the passes of a 6-pass f32 matmul
+    # ~2^-16 relative in half the passes of a 6-pass f32 matmul
     a_hi = a.astype(jnp.bfloat16)
     b_hi = b.astype(jnp.bfloat16)
     a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -52,13 +56,13 @@ def _mm(a, b):
     return dot(a_hi, b_hi) + dot(a_lo, b_hi) + dot(a_hi, b_lo)
 
 
-def _coords_for_tile(inv_ref, kt, out_size, dtype):
+def _coords_for_tile(inv_ref, kt, k_tile, out_size, dtype):
     """Source coords for this tile's output pixels, from the inverse homography.
 
     Mosaic-conservative: the homography scalars come from an SMEM block, every
-    intermediate is 2D (K_TILE, 1).  Returns sx, sy with shape (K_TILE, 1)."""
-    k0 = kt * K_TILE
-    k = k0 + jax.lax.broadcasted_iota(jnp.int32, (K_TILE, 1), 0)  # (K_TILE, 1)
+    intermediate is 2D (k_tile, 1).  Returns sx, sy with shape (k_tile, 1)."""
+    k0 = kt * k_tile
+    k = k0 + jax.lax.broadcasted_iota(jnp.int32, (k_tile, 1), 0)  # (k_tile, 1)
     i = (k // out_size).astype(dtype)
     j = (k % out_size).astype(dtype)
     m00 = inv_ref[0, 0, 0]
@@ -89,26 +93,27 @@ def _pad_coords(sx, sy, h, w, padding_mode):
     return sx, sy
 
 
-def _fwd_kernel(inv_ref, work_ref, out_ref, *, out_size, padding_mode, channels):
+def _fwd_kernel(inv_ref, work_ref, out_ref, *, k_tile, out_size, padding_mode,
+                channels, prec):
     # work_ref: (C, H, W) channel-major so the lane dimension is the wide axis
     h, w = work_ref.shape[1], work_ref.shape[2]
-    dtype = work_ref.dtype
     kt = pl.program_id(1)
-    sx, sy = _coords_for_tile(inv_ref, kt, out_size, jnp.float32)  # (T, 1)
+    sx, sy = _coords_for_tile(inv_ref, kt, k_tile, out_size, jnp.float32)  # (T, 1)
     sx, sy = _pad_coords(sx, sy, h, w, padding_mode)
 
-    u = jax.lax.broadcasted_iota(jnp.int32, (K_TILE, h), 1).astype(jnp.float32)
-    v = jax.lax.broadcasted_iota(jnp.int32, (K_TILE, w), 1).astype(jnp.float32)
-    a = jnp.maximum(0.0, 1.0 - jnp.abs(sy - u)).astype(jnp.float32)  # (T, H)
-    b = jnp.maximum(0.0, 1.0 - jnp.abs(sx - v)).astype(jnp.float32)  # (T, W)
+    u = jax.lax.broadcasted_iota(jnp.int32, (k_tile, h), 1).astype(jnp.float32)
+    v = jax.lax.broadcasted_iota(jnp.int32, (k_tile, w), 1).astype(jnp.float32)
+    a = jnp.maximum(0.0, 1.0 - jnp.abs(sy - u))  # (T, H)
+    b = jnp.maximum(0.0, 1.0 - jnp.abs(sx - v))  # (T, W)
 
     for c in range(channels):
-        tmp = _mm(a, work_ref[c].astype(jnp.float32))  # (T, W)
+        tmp = _mm(a, work_ref[c].astype(jnp.float32), prec)  # (T, W)
         out_ref[0, c, :] = jnp.sum(tmp * b, axis=1)
 
 
-def _bwd_kernel(inv_ref, g_ref, dwork_ref, *, out_size, padding_mode, channels):
-    # dwork_ref: (C, H, W); g_ref: (1, C, K_TILE)
+def _bwd_kernel(inv_ref, g_ref, dwork_ref, *, k_tile, out_size, padding_mode,
+                channels, prec):
+    # dwork_ref: (C, H, W); g_ref: (1, C, k_tile)
     h, w = dwork_ref.shape[1], dwork_ref.shape[2]
     kt = pl.program_id(1)
     n = pl.program_id(0)
@@ -117,27 +122,28 @@ def _bwd_kernel(inv_ref, g_ref, dwork_ref, *, out_size, padding_mode, channels):
     def _():
         dwork_ref[...] = jnp.zeros_like(dwork_ref)
 
-    sx, sy = _coords_for_tile(inv_ref, kt, out_size, jnp.float32)  # (T, 1)
+    sx, sy = _coords_for_tile(inv_ref, kt, k_tile, out_size, jnp.float32)  # (T, 1)
     sx, sy = _pad_coords(sx, sy, h, w, padding_mode)
 
-    u = jax.lax.broadcasted_iota(jnp.int32, (K_TILE, h), 1).astype(jnp.float32)
-    v = jax.lax.broadcasted_iota(jnp.int32, (K_TILE, w), 1).astype(jnp.float32)
+    u = jax.lax.broadcasted_iota(jnp.int32, (k_tile, h), 1).astype(jnp.float32)
+    v = jax.lax.broadcasted_iota(jnp.int32, (k_tile, w), 1).astype(jnp.float32)
     a = jnp.maximum(0.0, 1.0 - jnp.abs(sy - u))  # (T, H)
     b = jnp.maximum(0.0, 1.0 - jnp.abs(sx - v))  # (T, W)
 
     for c in range(channels):
-        gb = b * g_ref[0, c, :].reshape(K_TILE, 1)  # (T, W)
-        contrib = jnp.dot(a.T, gb, preferred_element_type=jnp.float32)  # (H, W)
+        gb = b * g_ref[0, c, :].reshape(k_tile, 1)  # (T, W)
+        contrib = _mm(a.T, gb, prec)  # (H, W)
         dwork_ref[c] += contrib
 
 
-def _run_fwd(work, inv_matrices, out_size, padding_mode, interpret):
+def _run_fwd(work, inv_matrices, out_size, padding_mode, interpret, k_tile, prec):
     n = inv_matrices.shape[0]
     h, w, c = work.shape
     k = out_size * out_size
-    k_tiles = pl.cdiv(k, K_TILE)
+    k_tiles = pl.cdiv(k, k_tile)
     kernel = functools.partial(
-        _fwd_kernel, out_size=out_size, padding_mode=padding_mode, channels=c
+        _fwd_kernel, k_tile=k_tile, out_size=out_size, padding_mode=padding_mode,
+        channels=c, prec=prec,
     )
     work_cm = work.transpose(2, 0, 1)  # (C, H, W): lanes = the wide spatial axis
     out = pl.pallas_call(
@@ -147,8 +153,8 @@ def _run_fwd(work, inv_matrices, out_size, padding_mode, interpret):
             pl.BlockSpec((1, 3, 3), lambda i, t: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((c, h, w), lambda i, t: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, c, K_TILE), lambda i, t: (i, 0, t), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, c, k_tiles * K_TILE), jnp.float32),
+        out_specs=pl.BlockSpec((1, c, k_tile), lambda i, t: (i, 0, t), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, c, k_tiles * k_tile), jnp.float32),
         interpret=interpret,
     )(inv_matrices, work_cm)
     return (
@@ -156,24 +162,26 @@ def _run_fwd(work, inv_matrices, out_size, padding_mode, interpret):
     )
 
 
-def _run_bwd(g, inv_matrices, work_shape, out_size, padding_mode, interpret):
+def _run_bwd(g, inv_matrices, work_shape, out_size, padding_mode, interpret,
+             k_tile, prec):
     n = inv_matrices.shape[0]
     h, w, c = work_shape
     k = out_size * out_size
-    k_tiles = pl.cdiv(k, K_TILE)
+    k_tiles = pl.cdiv(k, k_tile)
     g_flat = g.reshape(n, k, c).transpose(0, 2, 1).astype(jnp.float32)  # (N, C, K)
-    pad = k_tiles * K_TILE - k
+    pad = k_tiles * k_tile - k
     if pad:
         g_flat = jnp.pad(g_flat, ((0, 0), (0, 0), (0, pad)))
     kernel = functools.partial(
-        _bwd_kernel, out_size=out_size, padding_mode=padding_mode, channels=c
+        _bwd_kernel, k_tile=k_tile, out_size=out_size, padding_mode=padding_mode,
+        channels=c, prec=prec,
     )
     dwork = pl.pallas_call(
         kernel,
         grid=(n, k_tiles),
         in_specs=[
             pl.BlockSpec((1, 3, 3), lambda i, t: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, c, K_TILE), lambda i, t: (i, 0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, k_tile), lambda i, t: (i, 0, t), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((c, h, w), lambda i, t: (0, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, h, w), jnp.float32),
@@ -182,19 +190,20 @@ def _run_bwd(g, inv_matrices, work_shape, out_size, padding_mode, interpret):
     return dwork.transpose(1, 2, 0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def pallas_warp(work, inv_matrices, out_size, padding_mode, interpret=False):
-    return _run_fwd(work, inv_matrices, out_size, padding_mode, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def pallas_warp(work, inv_matrices, out_size, padding_mode, interpret, k_tile, prec):
+    return _run_fwd(work, inv_matrices, out_size, padding_mode, interpret, k_tile, prec)
 
 
-def _pallas_warp_fwd(work, inv_matrices, out_size, padding_mode, interpret):
-    out = _run_fwd(work, inv_matrices, out_size, padding_mode, interpret)
+def _pallas_warp_fwd(work, inv_matrices, out_size, padding_mode, interpret, k_tile, prec):
+    out = _run_fwd(work, inv_matrices, out_size, padding_mode, interpret, k_tile, prec)
     return out, (jax.lax.stop_gradient(work), inv_matrices)
 
 
-def _pallas_warp_bwd(out_size, padding_mode, interpret, res, g):
+def _pallas_warp_bwd(out_size, padding_mode, interpret, k_tile, prec, res, g):
     work_ref, inv_matrices = res
-    dwork = _run_bwd(g, inv_matrices, work_ref.shape, out_size, padding_mode, interpret)
+    dwork = _run_bwd(g, inv_matrices, work_ref.shape, out_size, padding_mode,
+                     interpret, k_tile, prec)
     return dwork.astype(work_ref.dtype), None
 
 
@@ -202,10 +211,12 @@ pallas_warp.defvjp(_pallas_warp_fwd, _pallas_warp_bwd)
 
 
 def pallas_warp_batch(work, matrices, out_size: int, padding_mode="zeros", fill_value=0.0,
-                      interpret=False):
+                      interpret=False, k_tile=None, precision=None):
     """Drop-in for ops.warp_batch.warp_batch using the fused Pallas kernel."""
+    k_tile = K_TILE if k_tile is None else k_tile
+    precision = WARP_PREC if precision is None else precision
     inv = jax.vmap(inv3x3)(matrices).astype(jnp.float32)
-    out = pallas_warp(work, inv, out_size, padding_mode, interpret)
+    out = pallas_warp(work, inv, out_size, padding_mode, interpret, k_tile, precision)
 
     if padding_mode == "fill":
         h, w = work.shape[0], work.shape[1]
@@ -217,7 +228,9 @@ def pallas_warp_batch(work, matrices, out_size: int, padding_mode="zeros", fill_
 
         insides = jax.vmap(inside_mask)(matrices)[..., None]
         ones = jnp.ones(work.shape[:2] + (1,), work.dtype)
-        cover = jax.lax.stop_gradient(pallas_warp(ones, inv, out_size, padding_mode, interpret))
+        cover = jax.lax.stop_gradient(
+            pallas_warp(ones, inv, out_size, padding_mode, interpret, k_tile, precision)
+        )
         fill = jnp.asarray(fill_value, work.dtype)
         out = jnp.where(insides, out + (1.0 - cover) * fill, fill)
     return out

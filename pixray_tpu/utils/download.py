@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 import subprocess
+import time
 import urllib.request
 
 
@@ -21,18 +22,24 @@ def wget_file(url: str, out: str) -> bool:
     if d:
         os.makedirs(d, exist_ok=True)
     print(f"Downloading {out} from {url}, please wait")
-    try:
-        req = urllib.request.Request(url, headers={"User-Agent": "Mozilla/5.0"})
-        with urllib.request.urlopen(req, timeout=15) as resp, open(out + ".part", "wb") as f:
-            while True:
-                chunk = resp.read(1 << 20)
-                if not chunk:
-                    break
-                f.write(chunk)
-        os.replace(out + ".part", out)
-        return True
-    except Exception as e:
-        print(f"urllib download failed ({e}); trying wget")
+    for attempt in range(3):
+        try:
+            req = urllib.request.Request(url, headers={"User-Agent": "Mozilla/5.0"})
+            with urllib.request.urlopen(req, timeout=15) as resp, open(out + ".part", "wb") as f:
+                while True:
+                    chunk = resp.read(1 << 20)
+                    if not chunk:
+                        break
+                    f.write(chunk)
+            os.replace(out + ".part", out)
+            return True
+        except Exception as e:
+            if attempt < 2:
+                wait = 2 ** attempt
+                print(f"download attempt {attempt + 1} failed ({e}); retrying in {wait}s")
+                time.sleep(wait)
+            else:
+                print(f"urllib download failed ({e}); trying wget")
     try:
         subprocess.check_output(["wget", "-O", out, url])
         return os.path.exists(out) and os.path.getsize(out) > 0

@@ -33,8 +33,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REF_BASELINE_STEPS_PER_SEC = 8.0  # documented A100 reference estimate (see above)
 
-WARMUP_STEPS = 3
-TIMED_STEPS = 30
+# warmup/timed aligned to the engine's 8-step dispatch blocks (save_every is
+# huge here, so blocks start at iteration 1, 9, 17, …): timing starts exactly at
+# a block boundary with an empty consume buffer and covers whole blocks, so
+# every timed step is computed inside the timed window
+WARMUP_STEPS = 9
+TIMED_STEPS = 24
 
 
 def main():

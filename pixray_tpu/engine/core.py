@@ -335,6 +335,11 @@ class Engine:
 
         # ---- jitted functions
         self._step, self.loss_names = build_step(self.step_cfg, self.optimizer)
+        # multi-step blocks: S optimizer steps per device dispatch (lax.scan in
+        # step.py::build_multi_step), amortizing host→device dispatch latency.
+        # Built lazily on first eligible block; one fixed block size → one graph.
+        self._multi_step = None
+        self._block = None  # buffered per-step results of the in-flight block
         self._synth = jax.jit(
             lambda z, it, key: self.drawer.synth(self.refs["drawer_params"], z, it, key),
             static_argnums=(),
@@ -426,6 +431,83 @@ class Engine:
             platforms = {jax.devices()[0].platform}
         return jnp.bfloat16 if platforms - {"cpu"} else None
 
+    # ------------------------------------------------------------------ blocks
+    BLOCK_STEPS = 8  # fixed block size: exactly one extra compiled graph
+
+    def _block_size(self, cur_it: int) -> int:
+        """How many steps may run as one device dispatch starting at ``cur_it``.
+
+        Returns BLOCK_STEPS only when no host event interrupts the block:
+        post-step events (checkin/save_every, LR drops, session checkpoints) may
+        fall only on the block's LAST iteration; pre-step events (overlay) may
+        not fall inside it at all.  Per-iteration host features (animation,
+        video frames, vdiff re-noise, auto_stop's prompt LR decisions) disable
+        blocking entirely.  --steps_per_call 1 forces single-step."""
+        args = self.args
+        if getattr(args, "steps_per_call", 0) == 1:
+            return 1
+        n = self.BLOCK_STEPS if args.steps_per_call == 0 else args.steps_per_call
+        if (
+            self.cur_anim_index is not None
+            or args.make_video
+            or args.auto_stop
+            or hasattr(self.drawer, "post_step")
+        ):
+            return 1
+        n = min(n, args.iterations - cur_it)
+        if n < 2:
+            return 1
+        for it in range(cur_it, cur_it + n - 1):  # post-step events: all but last
+            if it % args.save_every == 0:
+                n = it - cur_it + 1
+                break
+            if it in args.learning_rate_drops:
+                n = it - cur_it + 1
+                break
+            ck = getattr(args, "checkpoint_every", 0)
+            if ck and it and it % ck == 0:
+                n = it - cur_it + 1
+                break
+        for it in range(cur_it + 1, cur_it + n):  # pre-step events: none inside
+            if apply_overlay(args, it):
+                n = it - cur_it
+                break
+        return max(n, 1)
+
+    def _dispatch_block(self, cur_it: int, n: int, anim_index: int):
+        """Run ``n`` steps in one dispatch and fill the consume buffer."""
+        if self._multi_step is None or self._multi_step[0] != n:
+            from pixray_tpu.engine.step import build_multi_step
+
+            fn, _ = build_multi_step(self.step_cfg, self.optimizer, n)
+            self._multi_step = (n, fn)
+        self.z, self.opt_state, self.key, totals, valss, img = self._multi_step[1](
+            self.z, self.opt_state, self.key, cur_it, anim_index, self.lr_scale, self.refs
+        )
+        self._block = {
+            "start": cur_it,
+            "n": n,
+            "totals": np.asarray(totals),
+            "valss": np.asarray(valss),
+            "img": img,
+        }
+
+    def _consume_block(self, cur_it: int):
+        """Pop this iteration's (total, values, img) from the buffer, or None."""
+        b = self._block
+        if b is None:
+            return None
+        idx = cur_it - b["start"]
+        if not (0 <= idx < b["n"]):
+            self._block = None
+            return None
+        total = b["totals"][idx]
+        values = b["valss"][idx]
+        img = b["img"]
+        if idx == b["n"] - 1:
+            self._block = None
+        return total, values, img
+
     # ------------------------------------------------------------------ train/run
     def train(self, cur_it: int) -> bool:
         """One optimizer step + host scheduling. Returns False when run should end."""
@@ -443,12 +525,24 @@ class Engine:
                     self.overlay_image_rgba = self.overlay_image_rgba_list[self.cur_anim_index % n]
                 self.re_average_z()
 
-            self.key, k_step = jax.random.split(self.key)
             anim_index = 0 if self.cur_anim_index is None else self.cur_anim_index
             try:
-                self.z, self.opt_state, total, values, img = self._step(
-                    self.z, self.opt_state, k_step, cur_it, anim_index, self.lr_scale, self.refs
-                )
+                buffered = self._consume_block(cur_it)
+                if buffered is None:
+                    n = self._block_size(cur_it)
+                    # only full-size blocks run blocked (ONE extra compiled
+                    # graph); truncated spans fall back to single steps
+                    want = self.BLOCK_STEPS if self.args.steps_per_call == 0 else self.args.steps_per_call
+                    if n == want and n > 1:
+                        self._dispatch_block(cur_it, n, anim_index)
+                        buffered = self._consume_block(cur_it)
+                if buffered is not None:
+                    total, values, img = buffered
+                else:
+                    self.key, k_step = jax.random.split(self.key)
+                    self.z, self.opt_state, total, values, img = self._step(
+                        self.z, self.opt_state, k_step, cur_it, anim_index, self.lr_scale, self.refs
+                    )
             except RuntimeError as e:
                 # OOM guidance parity (reference pixray.py:1625-1628); jax device
                 # OOMs surface as XlaRuntimeError (a RuntimeError subclass) with

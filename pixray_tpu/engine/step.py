@@ -360,16 +360,8 @@ def build_loss_fn(cfg: StepConfig, names_sink: list | None = None):
     return loss_fn
 
 
-def build_step(cfg: StepConfig, optimizer, mesh=None, shard_cutouts=False):
-    """Build the jitted train step.
-
-    step(z, opt_state, key, iteration, anim_index, refs) →
-        (z, opt_state, total_loss, loss_values, image)
-
-    ``batches`` gradient accumulation is a lax.scan; the optimizer update and the
-    drawer's latent projection (clip_params) run once at the end, matching the
-    reference's train() (pixray.py:1436-1512).
-    """
+def _build_step_core(cfg: StepConfig, optimizer):
+    """The unjitted step body shared by build_step and build_multi_step."""
     names_sink: list = []
     loss_fn = build_loss_fn(cfg, names_sink)
     value_grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -423,4 +415,57 @@ def build_step(cfg: StepConfig, optimizer, mesh=None, shard_cutouts=False):
         z = cfg.drawer.clip_params(z)
         return z, opt_state, total0, vals0, img0
 
+    return step, names_sink
+
+
+def build_step(cfg: StepConfig, optimizer, mesh=None, shard_cutouts=False):
+    """Build the jitted train step.
+
+    step(z, opt_state, key, iteration, anim_index, refs) →
+        (z, opt_state, total_loss, loss_values, image)
+
+    ``batches`` gradient accumulation is a lax.scan; the optimizer update and the
+    drawer's latent projection (clip_params) run once at the end, matching the
+    reference's train() (pixray.py:1436-1512).
+    """
+    step, names_sink = _build_step_core(cfg, optimizer)
     return jax.jit(step, donate_argnums=(0, 1)), names_sink
+
+
+def build_multi_step(cfg: StepConfig, optimizer, n_steps: int):
+    """Build a jitted S-step block: ``lax.scan`` over ``n_steps`` optimizer steps
+    in ONE device dispatch.
+
+    multi(z, opt_state, key, it0, anim_index, lr_scale, refs) →
+        (z, opt_state, key, totals (S,), values (S, L), last_image)
+
+    TPU-first rationale: the single-step loop pays one host→device dispatch per
+    optimizer step (dozens of ms through remote relays; ~10-100 µs even locally);
+    a block amortizes it S× with zero semantic drift — the PRNG schedule inside
+    the scan (``key, k = split(key)`` per step) is exactly the host schedule of
+    engine/core.py's train(), so blocked and single-step runs follow identical
+    trajectories.  The engine only uses blocks between host-event boundaries
+    (checkin / LR drops / overlay / video frames — see Engine._block_span).
+    """
+    step, names_sink = _build_step_core(cfg, optimizer)
+
+    def multi(z, opt_state, key, it0, anim_index, lr_scale, refs):
+        img_shape = jax.eval_shape(
+            step, z, opt_state, key, it0, anim_index, lr_scale, refs
+        )[4]
+
+        def body(carry, it):
+            z, opt_state, key, _img = carry
+            key, k_step = jax.random.split(key)
+            z, opt_state, total, vals, img = step(
+                z, opt_state, k_step, it, anim_index, lr_scale, refs
+            )
+            return (z, opt_state, key, img), (total, vals)
+
+        img0 = jnp.zeros(img_shape.shape, img_shape.dtype)
+        (z, opt_state, key, img), (totals, valss) = jax.lax.scan(
+            body, (z, opt_state, key, img0), it0 + jnp.arange(n_steps)
+        )
+        return z, opt_state, key, totals, valss, img
+
+    return jax.jit(multi, donate_argnums=(0, 1)), names_sink

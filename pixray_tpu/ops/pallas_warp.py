@@ -35,6 +35,10 @@ from pixray_tpu.ops.warp_batch import _source_coords
 
 # defaults, overridable per call; env knobs kept for benchmarking sweeps
 K_TILE = int(os.environ.get("PIXRAY_TPU_WARP_KTILE", "512"))
+# flagship step cost on v5e by warp matmul mode: "bf16" 80 ms/step, "high"
+# (error-compensated bf16, ~f32-exact) 132, exact-f32 "highest" 206.  bf16's
+# ~1e-2 output quantization sits far below the noise_fac=0.1 augmentation noise
+# every cutout receives downstream, so the fast mode is the default.
 WARP_PREC = os.environ.get("PIXRAY_TPU_WARP_PREC", "bf16")
 
 

@@ -13,8 +13,21 @@ import pytest
 from pixray_tpu.ops.warp_batch import warp_batch
 from tests.test_warp_batch import random_matrices
 
-# (precision, fwd atol, bwd atol)
+# (precision, fwd atol, bwd atol); the fast tier runs the exact mode on every
+# padding mode plus the default bf16 mode on two; the rest runs in the slow tier
 PRECS = [("highest", 1e-4, 1e-3), ("bf16", 2e-2, 2e-2), ("high", 1e-3, 2e-3)]
+FAST = {("highest", m) for m in ["zeros", "border", "reflection", "fill"]} | {
+    ("bf16", "border"), ("bf16", "fill"),
+}
+
+
+def _params():
+    out = []
+    for prec, fa, ba in PRECS:
+        for mode in ["zeros", "border", "reflection", "fill"]:
+            marks = [] if (prec, mode) in FAST else [pytest.mark.slow]
+            out.append(pytest.param(mode, prec, fa, ba, marks=marks))
+    return out
 
 
 @pytest.fixture(scope="module")
@@ -23,8 +36,7 @@ def work():
     return jnp.asarray(rng.random((20, 28, 3)), jnp.float32)
 
 
-@pytest.mark.parametrize("prec,fwd_atol,bwd_atol", PRECS)
-@pytest.mark.parametrize("mode", ["zeros", "border", "reflection", "fill"])
+@pytest.mark.parametrize("mode,prec,fwd_atol,bwd_atol", _params())
 class TestPallasWarp:
     def test_forward_matches(self, work, mode, prec, fwd_atol, bwd_atol):
         from pixray_tpu.ops.pallas_warp import pallas_warp_batch

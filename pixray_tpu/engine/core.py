@@ -52,6 +52,21 @@ def is_notebook() -> bool:
         return False
 
 
+def _progress_bar():
+    """tqdm run progress (reference pixray.py:1613, notebook-aware like 163-168);
+    degrades to a no-op context when tqdm is unavailable."""
+    try:
+        if is_notebook():
+            from tqdm.notebook import tqdm
+        else:
+            from tqdm import tqdm
+        return tqdm()
+    except Exception:
+        import contextlib
+
+        return contextlib.nullcontext()
+
+
 def _notebook_display(args, it, outfile):
     """Inline image display on the display_every cadence (pixray.py:1196-1200)."""
     if not is_notebook() or args.display_every is None or it % args.display_every != 0:
@@ -629,7 +644,12 @@ class Engine:
         if self.cur_anim_index is not None and self.cur_anim_index == len(self.anim_output_files) - 1:
             OUT.make_gif(args.animation_dir)
         _notebook_display(args, it, outfile)
-        print(writestr)
+        try:
+            from tqdm import tqdm
+
+            tqdm.write(writestr)  # plays nice with the run progress bar (pixray.py:1201)
+        except Exception:
+            print(writestr)
 
     def run(self, return_display: bool = False) -> bool:
         """Main loop (reference do_run, pixray.py:1540-1638). Returns True when
@@ -644,13 +664,15 @@ class Engine:
 
         profile_dir = getattr(args, "profile_dir", None) if self.cur_iteration == 0 else None
         try:
-            with device_trace(profile_dir, "(start of run)"):
+            with device_trace(profile_dir, "(start of run)"), _progress_bar() as pbar:
                 keep_going = True
                 while keep_going:
                     keep_going = self.train(self.cur_iteration)
                     if self.cur_iteration == args.iterations:
                         break
                     self.cur_iteration += 1
+                    if pbar is not None:
+                        pbar.update()
                     if keep_going and return_display and self.cur_iteration % args.display_every == 0:
                         return False
         except KeyboardInterrupt:

@@ -40,6 +40,10 @@ K_TILE = int(os.environ.get("PIXRAY_TPU_WARP_KTILE", "512"))
 # ~1e-2 output quantization sits far below the noise_fac=0.1 augmentation noise
 # every cutout receives downstream, so the fast mode is the default.
 WARP_PREC = os.environ.get("PIXRAY_TPU_WARP_PREC", "bf16")
+# adaptive row-band height for the hat matmuls (0 disables); tiles whose exact
+# corner-bounded source-row span fits the band contract `band` rows instead of
+# the full canvas height — the wide-span minority falls back to the full matmul
+WARP_BAND = int(os.environ.get("PIXRAY_TPU_WARP_BAND", "64"))
 
 
 def _mm(a, b, prec):
@@ -97,26 +101,108 @@ def _pad_coords(sx, sy, h, w, padding_mode):
     return sx, sy
 
 
+def _tile_sy_bounds(inv_ref, kt, k_tile, out_size):
+    """Exact [min, max] of the RAW (pre-padding) source row coordinate over this
+    tile's output pixels.
+
+    A projective map restricted to an axis-aligned rectangle attains its
+    extremes at the rectangle's corners (sy along each edge is a Möbius
+    function of the edge parameter, monotone when the denominator keeps its
+    sign — true for the bounded cutout transform family), so evaluating the 4
+    corners of the covering row-range × full column-range rectangle bounds sy
+    exactly."""
+    k0 = kt * k_tile
+    r0 = jnp.float32(0) + (k0 // out_size)
+    r1 = jnp.minimum((k0 + k_tile - 1) // out_size, out_size - 1).astype(jnp.float32)
+    m10 = inv_ref[0, 1, 0]
+    m11 = inv_ref[0, 1, 1]
+    m12 = inv_ref[0, 1, 2]
+    m20 = inv_ref[0, 2, 0]
+    m21 = inv_ref[0, 2, 1]
+    m22 = inv_ref[0, 2, 2]
+    lo = jnp.float32(1e30)
+    hi = jnp.float32(-1e30)
+    for jj in (jnp.float32(0.0), jnp.float32(out_size - 1)):
+        for ii in (r0.astype(jnp.float32), r1):
+            d = m20 * jj + m21 * ii + m22 + 1e-8
+            sy = (m10 * jj + m11 * ii + m12) / d
+            lo = jnp.minimum(lo, sy)
+            hi = jnp.maximum(hi, sy)
+    return lo, hi
+
+
+# band safety margin: sublane alignment (7) + bilinear support (2) + slack
+_BAND_MARGIN = 11
+
+
+def _band_plan(lo, hi, h, band, padding_mode):
+    """(ok, base) for the banded branch given raw sy extremes [lo, hi].
+
+    border: clamping is monotone, so the clamped extremes are exact — band on
+    them.  zeros/fill: out-of-canvas taps have zero hat weight against real
+    rows in BOTH branches, so the in-canvas portion [clip(lo), clip(hi)] is all
+    that matters.  reflection: wrapping breaks corner-extremality, so the band
+    applies only when the raw range stays fully inside the canvas."""
+    if padding_mode == "reflection":
+        in_canvas = jnp.logical_and(lo >= 0.0, hi <= h - 1.0)
+        ok = jnp.logical_and(in_canvas, (hi - lo) <= (band - _BAND_MARGIN))
+    else:
+        lo = jnp.clip(lo, 0.0, h - 1.0)
+        hi = jnp.clip(hi, 0.0, h - 1.0)
+        ok = (hi - lo) <= (band - _BAND_MARGIN)
+    base = jnp.clip(jnp.floor(lo).astype(jnp.int32) - 1, 0, h - band)
+    base = (base // 8) * 8
+    return ok, base
+
+
 def _fwd_kernel(inv_ref, work_ref, out_ref, *, k_tile, out_size, padding_mode,
-                channels, prec):
+                channels, prec, band):
     # work_ref: (C, H, W) channel-major so the lane dimension is the wide axis
     h, w = work_ref.shape[1], work_ref.shape[2]
     kt = pl.program_id(1)
     sx, sy = _coords_for_tile(inv_ref, kt, k_tile, out_size, jnp.float32)  # (T, 1)
     sx, sy = _pad_coords(sx, sy, h, w, padding_mode)
 
-    u = jax.lax.broadcasted_iota(jnp.int32, (k_tile, h), 1).astype(jnp.float32)
     v = jax.lax.broadcasted_iota(jnp.int32, (k_tile, w), 1).astype(jnp.float32)
-    a = jnp.maximum(0.0, 1.0 - jnp.abs(sy - u))  # (T, H)
     b = jnp.maximum(0.0, 1.0 - jnp.abs(sx - v))  # (T, W)
 
-    for c in range(channels):
-        tmp = _mm(a, work_ref[c].astype(jnp.float32), prec)  # (T, W)
-        out_ref[0, c, :] = jnp.sum(tmp * b, axis=1)
+    def full_rows():
+        u = jax.lax.broadcasted_iota(jnp.int32, (k_tile, h), 1).astype(jnp.float32)
+        a = jnp.maximum(0.0, 1.0 - jnp.abs(sy - u))  # (T, H)
+        for c in range(channels):
+            tmp = _mm(a, work_ref[c].astype(jnp.float32), prec)  # (T, W)
+            out_ref[0, c, :] = jnp.sum(tmp * b, axis=1)
+
+    if not band:
+        full_rows()
+        return
+
+    # adaptive row banding: most cutout tiles read a narrow horizontal band of
+    # the canvas (median span ~20 rows at 224² tiles; only strong-perspective
+    # draws exceed it), so the hat matmul usually needs `band` rows, not H.
+    # The bound is exact (corner extremes) and the wide-span / out-of-canvas
+    # minority falls back to the full matmul — never a wrong pixel.
+    lo, hi = _tile_sy_bounds(inv_ref, kt, k_tile, out_size)
+    ok, base = _band_plan(lo, hi, h, band, padding_mode)
+
+    @pl.when(ok)
+    def _banded():
+        ub = base.astype(jnp.float32) + jax.lax.broadcasted_iota(
+            jnp.int32, (k_tile, band), 1
+        ).astype(jnp.float32)
+        ab = jnp.maximum(0.0, 1.0 - jnp.abs(sy - ub))  # (T, B)
+        for c in range(channels):
+            wb = work_ref[c, pl.ds(base, band), :].astype(jnp.float32)
+            tmp = _mm(ab, wb, prec)  # (T, W)
+            out_ref[0, c, :] = jnp.sum(tmp * b, axis=1)
+
+    @pl.when(jnp.logical_not(ok))
+    def _full():
+        full_rows()
 
 
 def _bwd_kernel(inv_ref, g_ref, dwork_ref, *, k_tile, out_size, padding_mode,
-                channels, prec):
+                channels, prec, band):
     # dwork_ref: (C, H, W); g_ref: (1, C, k_tile)
     h, w = dwork_ref.shape[1], dwork_ref.shape[2]
     kt = pl.program_id(1)
@@ -129,25 +215,53 @@ def _bwd_kernel(inv_ref, g_ref, dwork_ref, *, k_tile, out_size, padding_mode,
     sx, sy = _coords_for_tile(inv_ref, kt, k_tile, out_size, jnp.float32)  # (T, 1)
     sx, sy = _pad_coords(sx, sy, h, w, padding_mode)
 
-    u = jax.lax.broadcasted_iota(jnp.int32, (k_tile, h), 1).astype(jnp.float32)
     v = jax.lax.broadcasted_iota(jnp.int32, (k_tile, w), 1).astype(jnp.float32)
-    a = jnp.maximum(0.0, 1.0 - jnp.abs(sy - u))  # (T, H)
     b = jnp.maximum(0.0, 1.0 - jnp.abs(sx - v))  # (T, W)
 
-    for c in range(channels):
-        gb = b * g_ref[0, c, :].reshape(k_tile, 1)  # (T, W)
-        contrib = _mm(a.T, gb, prec)  # (H, W)
-        dwork_ref[c] += contrib
+    def full_rows():
+        u = jax.lax.broadcasted_iota(jnp.int32, (k_tile, h), 1).astype(jnp.float32)
+        a = jnp.maximum(0.0, 1.0 - jnp.abs(sy - u))  # (T, H)
+        for c in range(channels):
+            gb = b * g_ref[0, c, :].reshape(k_tile, 1)  # (T, W)
+            contrib = _mm(a.T, gb, prec)  # (H, W)
+            dwork_ref[c] += contrib
+
+    if not band:
+        full_rows()
+        return
+
+    lo, hi = _tile_sy_bounds(inv_ref, kt, k_tile, out_size)
+    ok, base = _band_plan(lo, hi, h, band, padding_mode)
+
+    @pl.when(ok)
+    def _banded():
+        ub = base.astype(jnp.float32) + jax.lax.broadcasted_iota(
+            jnp.int32, (k_tile, band), 1
+        ).astype(jnp.float32)
+        ab = jnp.maximum(0.0, 1.0 - jnp.abs(sy - ub))  # (T, B)
+        for c in range(channels):
+            gb = b * g_ref[0, c, :].reshape(k_tile, 1)  # (T, W)
+            contrib = _mm(ab.T, gb, prec)  # (B, W)
+            dwork_ref[c, pl.ds(base, band), :] += contrib
+
+    @pl.when(jnp.logical_not(ok))
+    def _full():
+        full_rows()
 
 
-def _run_fwd(work, inv_matrices, out_size, padding_mode, interpret, k_tile, prec):
+def _band_for(h: int, band: int) -> int:
+    """Disable banding on canvases too short for a band plus slack."""
+    return band if (band and h >= band + 16) else 0
+
+
+def _run_fwd(work, inv_matrices, out_size, padding_mode, interpret, k_tile, prec, band):
     n = inv_matrices.shape[0]
     h, w, c = work.shape
     k = out_size * out_size
     k_tiles = pl.cdiv(k, k_tile)
     kernel = functools.partial(
         _fwd_kernel, k_tile=k_tile, out_size=out_size, padding_mode=padding_mode,
-        channels=c, prec=prec,
+        channels=c, prec=prec, band=_band_for(h, band),
     )
     work_cm = work.transpose(2, 0, 1)  # (C, H, W): lanes = the wide spatial axis
     out = pl.pallas_call(
@@ -167,7 +281,7 @@ def _run_fwd(work, inv_matrices, out_size, padding_mode, interpret, k_tile, prec
 
 
 def _run_bwd(g, inv_matrices, work_shape, out_size, padding_mode, interpret,
-             k_tile, prec):
+             k_tile, prec, band):
     n = inv_matrices.shape[0]
     h, w, c = work_shape
     k = out_size * out_size
@@ -178,7 +292,7 @@ def _run_bwd(g, inv_matrices, work_shape, out_size, padding_mode, interpret,
         g_flat = jnp.pad(g_flat, ((0, 0), (0, 0), (0, pad)))
     kernel = functools.partial(
         _bwd_kernel, k_tile=k_tile, out_size=out_size, padding_mode=padding_mode,
-        channels=c, prec=prec,
+        channels=c, prec=prec, band=_band_for(h, band),
     )
     dwork = pl.pallas_call(
         kernel,
@@ -194,20 +308,20 @@ def _run_bwd(g, inv_matrices, work_shape, out_size, padding_mode, interpret,
     return dwork.transpose(1, 2, 0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
-def pallas_warp(work, inv_matrices, out_size, padding_mode, interpret, k_tile, prec):
-    return _run_fwd(work, inv_matrices, out_size, padding_mode, interpret, k_tile, prec)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def pallas_warp(work, inv_matrices, out_size, padding_mode, interpret, k_tile, prec, band):
+    return _run_fwd(work, inv_matrices, out_size, padding_mode, interpret, k_tile, prec, band)
 
 
-def _pallas_warp_fwd(work, inv_matrices, out_size, padding_mode, interpret, k_tile, prec):
-    out = _run_fwd(work, inv_matrices, out_size, padding_mode, interpret, k_tile, prec)
+def _pallas_warp_fwd(work, inv_matrices, out_size, padding_mode, interpret, k_tile, prec, band):
+    out = _run_fwd(work, inv_matrices, out_size, padding_mode, interpret, k_tile, prec, band)
     return out, (jax.lax.stop_gradient(work), inv_matrices)
 
 
-def _pallas_warp_bwd(out_size, padding_mode, interpret, k_tile, prec, res, g):
+def _pallas_warp_bwd(out_size, padding_mode, interpret, k_tile, prec, band, res, g):
     work_ref, inv_matrices = res
     dwork = _run_bwd(g, inv_matrices, work_ref.shape, out_size, padding_mode,
-                     interpret, k_tile, prec)
+                     interpret, k_tile, prec, band)
     return dwork.astype(work_ref.dtype), None
 
 
@@ -215,12 +329,13 @@ pallas_warp.defvjp(_pallas_warp_fwd, _pallas_warp_bwd)
 
 
 def pallas_warp_batch(work, matrices, out_size: int, padding_mode="zeros", fill_value=0.0,
-                      interpret=False, k_tile=None, precision=None):
+                      interpret=False, k_tile=None, precision=None, band=None):
     """Drop-in for ops.warp_batch.warp_batch using the fused Pallas kernel."""
     k_tile = K_TILE if k_tile is None else k_tile
     precision = WARP_PREC if precision is None else precision
+    band = WARP_BAND if band is None else band
     inv = jax.vmap(inv3x3)(matrices).astype(jnp.float32)
-    out = pallas_warp(work, inv, out_size, padding_mode, interpret, k_tile, precision)
+    out = pallas_warp(work, inv, out_size, padding_mode, interpret, k_tile, precision, band)
 
     if padding_mode == "fill":
         h, w = work.shape[0], work.shape[1]
@@ -233,7 +348,7 @@ def pallas_warp_batch(work, matrices, out_size: int, padding_mode="zeros", fill_
         insides = jax.vmap(inside_mask)(matrices)[..., None]
         ones = jnp.ones(work.shape[:2] + (1,), work.dtype)
         cover = jax.lax.stop_gradient(
-            pallas_warp(ones, inv, out_size, padding_mode, interpret, k_tile, precision)
+            pallas_warp(ones, inv, out_size, padding_mode, interpret, k_tile, precision, band)
         )
         fill = jnp.asarray(fill_value, work.dtype)
         out = jnp.where(insides, out + (1.0 - cover) * fill, fill)

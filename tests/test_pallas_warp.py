@@ -63,3 +63,63 @@ class TestPallasWarp:
         g_fast = np.asarray(jax.grad(loss_pallas)(work))
         g_ref = np.asarray(jax.grad(loss_ref)(work))
         np.testing.assert_allclose(g_fast, g_ref, atol=bwd_atol, rtol=1e-2)
+
+
+class TestAdaptiveBand:
+    """Banded hat matmuls (band=64) vs the unbanded kernel on a full-size canvas.
+
+    Exercises both in-kernel paths: mild crops take the banded branch, a strong
+    perspective draw exceeds the span bound and falls back to the full matmul."""
+
+    def _setup(self):
+        import numpy as np
+        from pixray_tpu.engine import cutouts as C
+        from pixray_tpu.ops import warp as W
+
+        rng = np.random.default_rng(3)
+        work = jnp.asarray(rng.random((224, 398, 3)), jnp.float32)
+        # mild crop (banded path), strong perspective (fallback), off-canvas zoom
+        m_crop = W.random_resized_crop(jax.random.PRNGKey(1), 224, 398, 224)
+        m_persp = W.mm3(
+            W.random_perspective(jax.random.PRNGKey(2), 224, 398, 0.4), m_crop
+        )
+        m_out = W.crop_box_transform(
+            jnp.float32(300.0), jnp.float32(-40.0), jnp.float32(200.0),
+            jnp.float32(280.0), 224, 224,
+        )
+        ms = jnp.stack([m_crop, m_persp, m_out])
+        return work, ms
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("mode", ["border", "fill"])
+    def test_band_matches_unbanded(self, mode):
+        from pixray_tpu.ops.pallas_warp import pallas_warp_batch
+
+        work, ms = self._setup()
+        kw = dict(padding_mode=mode, fill_value=0.3, interpret=True,
+                  precision="highest", k_tile=4096)
+        banded = pallas_warp_batch(work, ms, 224, band=64, **kw)
+        unbanded = pallas_warp_batch(work, ms, 224, band=0, **kw)
+        np.testing.assert_allclose(
+            np.asarray(banded), np.asarray(unbanded), atol=1e-4
+        )
+
+    @pytest.mark.slow
+    def test_band_gradient_matches(self):
+        from pixray_tpu.ops.pallas_warp import pallas_warp_batch
+
+        work, ms = self._setup()
+        g_out = jnp.asarray(
+            np.random.default_rng(4).random((3, 224, 224, 3)), jnp.float32
+        )
+
+        def loss(band):
+            def f(wk):
+                out = pallas_warp_batch(
+                    wk, ms, 224, padding_mode="border", interpret=True,
+                    precision="highest", k_tile=4096, band=band,
+                )
+                return jnp.sum(out * g_out)
+            return np.asarray(jax.grad(f)(work))
+
+        np.testing.assert_allclose(loss(64), loss(0), atol=1e-3, rtol=1e-2)

@@ -353,8 +353,12 @@ class Engine:
         # multi-step blocks: S optimizer steps per device dispatch (lax.scan in
         # step.py::build_multi_step), amortizing host→device dispatch latency.
         # Built lazily on first eligible block; one fixed block size → one graph.
+        # _next_block double-buffers: the following block is dispatched BEFORE
+        # the current block's results are pulled, so the device never idles on
+        # host round-trips between blocks.
         self._multi_step = None
         self._block = None  # buffered per-step results of the in-flight block
+        self._next_block = None  # speculatively dispatched following block
         self._synth = jax.jit(
             lambda z, it, key: self.drawer.synth(self.refs["drawer_params"], z, it, key),
             static_argnums=(),
@@ -489,8 +493,23 @@ class Engine:
                 break
         return max(n, 1)
 
+    def _has_host_event(self, it: int) -> bool:
+        """Host-side work is due at/after iteration ``it`` (checkin, LR drop,
+        checkpoint, display streaming) — speculation must not run past it,
+        because those paths read ``self.z`` at the event iteration."""
+        args = self.args
+        if it % args.save_every == 0 or it in args.learning_rate_drops:
+            return True
+        ck = getattr(args, "checkpoint_every", 0)
+        if ck and it and it % ck == 0:
+            return True
+        de = args.display_every
+        if de and (it + 1) % de == 0:
+            return True
+        return False
+
     def _dispatch_block(self, cur_it: int, n: int, anim_index: int):
-        """Run ``n`` steps in one dispatch and fill the consume buffer."""
+        """Run ``n`` steps in one dispatch; results stay on-device (futures)."""
         if self._multi_step is None or self._multi_step[0] != n:
             from pixray_tpu.engine.step import build_multi_step
 
@@ -499,28 +518,41 @@ class Engine:
         self.z, self.opt_state, self.key, totals, valss, img = self._multi_step[1](
             self.z, self.opt_state, self.key, cur_it, anim_index, self.lr_scale, self.refs
         )
-        self._block = {
-            "start": cur_it,
-            "n": n,
-            "totals": np.asarray(totals),
-            "valss": np.asarray(valss),
-            "img": img,
-        }
+        return {"start": cur_it, "n": n, "totals": totals, "valss": valss, "img": img}
 
-    def _consume_block(self, cur_it: int):
-        """Pop this iteration's (total, values, img) from the buffer, or None."""
+    def _consume_block(self, cur_it: int, anim_index: int = 0):
+        """Pop this iteration's (total, values, img) from the buffer, or None.
+
+        On first consume of a block, (a) the FOLLOWING block is speculatively
+        dispatched when no host event interrupts (double buffering: the device
+        computes block k+1 while the host walks block k's results), then (b)
+        block k's stacked losses are pulled to host in one transfer."""
         b = self._block
         if b is None:
             return None
         idx = cur_it - b["start"]
         if not (0 <= idx < b["n"]):
             self._block = None
+            self._next_block = None
             return None
+        if idx == 0 and not isinstance(b["totals"], np.ndarray):
+            want = self.BLOCK_STEPS if self.args.steps_per_call == 0 else self.args.steps_per_call
+            nxt = b["start"] + b["n"]
+            if (
+                self._next_block is None
+                and not self._has_host_event(b["start"] + b["n"] - 1)
+                and self._block_size(nxt) == want
+                and want > 1
+            ):
+                self._next_block = self._dispatch_block(nxt, want, anim_index)
+            b["totals"] = np.asarray(b["totals"])
+            b["valss"] = np.asarray(b["valss"])
         total = b["totals"][idx]
         values = b["valss"][idx]
         img = b["img"]
         if idx == b["n"] - 1:
-            self._block = None
+            self._block = self._next_block
+            self._next_block = None
         return total, values, img
 
     # ------------------------------------------------------------------ train/run
@@ -542,15 +574,15 @@ class Engine:
 
             anim_index = 0 if self.cur_anim_index is None else self.cur_anim_index
             try:
-                buffered = self._consume_block(cur_it)
+                buffered = self._consume_block(cur_it, anim_index)
                 if buffered is None:
                     n = self._block_size(cur_it)
                     # only full-size blocks run blocked (ONE extra compiled
                     # graph); truncated spans fall back to single steps
                     want = self.BLOCK_STEPS if self.args.steps_per_call == 0 else self.args.steps_per_call
                     if n == want and n > 1:
-                        self._dispatch_block(cur_it, n, anim_index)
-                        buffered = self._consume_block(cur_it)
+                        self._block = self._dispatch_block(cur_it, n, anim_index)
+                        buffered = self._consume_block(cur_it, anim_index)
                 if buffered is not None:
                     total, values, img = buffered
                 else:

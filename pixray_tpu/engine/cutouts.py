@@ -34,6 +34,7 @@ from pixray_tpu.ops import warp as W
 from pixray_tpu.ops.color import random_color_jitter
 from pixray_tpu.ops.pool import adaptive_avg_pool, adaptive_max_pool
 from pixray_tpu.ops.warp_batch import warp_batch as _xla_warp_batch
+from pixray_tpu.ops.warp_batch import warp_batch_modes as _xla_warp_batch_modes
 
 
 def warp_batch(work, matrices, cut_size, **kwargs):
@@ -65,6 +66,26 @@ def warp_batch(work, matrices, cut_size, **kwargs):
         cpu=lambda w, m: _xla_warp_batch(w, m, cut_size, **kwargs).astype(w.dtype),
         default=lambda w, m: pallas_warp_batch(w, m, cut_size, **kwargs).astype(w.dtype),
     )
+
+def warp_batch_modes(work, matrices, modes, cut_size, **kwargs):
+    """Mixed-mode bank warp backend (ONE kernel launch for the whole cutout
+    bank — zoom reflection/border cuts and wide fill cuts together).  Same
+    Pallas/XLA dispatch policy as warp_batch."""
+    mode_env = os.environ.get("PIXRAY_TPU_PALLAS", "auto")
+    if mode_env == "0":
+        return _xla_warp_batch_modes(work, matrices, modes, cut_size, **kwargs)
+    from pixray_tpu.ops.pallas_warp import pallas_warp_batch_modes
+
+    if mode_env == "1":
+        return pallas_warp_batch_modes(work, matrices, modes, cut_size, **kwargs)
+    return jax.lax.platform_dependent(
+        work,
+        matrices,
+        modes,
+        cpu=lambda w, m, md: _xla_warp_batch_modes(w, m, md, cut_size, **kwargs).astype(w.dtype),
+        default=lambda w, m, md: pallas_warp_batch_modes(w, m, md, cut_size, **kwargs).astype(w.dtype),
+    )
+
 
 NOISE_FAC = 0.1
 ZOOM_FRACTION = 0.6
@@ -169,22 +190,26 @@ def render_cutouts(
     bandwidth-bound); None keeps float32.
     """
     zoom_ms, wide_ms = transforms
+    nz, nw = zoom_ms.shape[0], wide_ms.shape[0]
 
-    parts = []
-    if zoom_ms.shape[0]:
-        # iteration-parity padding alternation via lax.cond (only one branch runs)
-        zoom = jax.lax.cond(
-            reflect_padding,
-            lambda w: warp_batch(w, zoom_ms, cut_size, padding_mode="reflection"),
-            lambda w: warp_batch(w, zoom_ms, cut_size, padding_mode="border"),
-            work,
+    # one mixed-mode bank warp: zoom cuts pad by iteration parity
+    # (reflection/border — a traced per-cut mode, not a lax.cond), wide cuts
+    # zero-pad and composite over the random gray via closed-form coverage
+    ms = jnp.concatenate([zoom_ms, wide_ms], axis=0)
+    zoom_mode = jnp.where(reflect_padding, 0, 1).astype(jnp.int32)  # 0=refl, 1=border
+    modes = jnp.concatenate(
+        [jnp.broadcast_to(zoom_mode, (nz,)), jnp.full((nw,), 2, jnp.int32)], axis=0
+    )
+    fill_mask = (
+        jnp.concatenate(
+            [jnp.zeros((nz,), bool), jnp.ones((nw,), bool)], axis=0
         )
-        parts.append(zoom)
-    if wide_ms.shape[0]:
-        parts.append(
-            warp_batch(work, wide_ms, cut_size, padding_mode="fill", fill_value=fill_color)
-        )
-    batch = jnp.concatenate(parts, axis=0)
+        if nw
+        else None
+    )
+    batch = warp_batch_modes(
+        work, ms, modes, cut_size, fill_value=fill_color, fill_mask=fill_mask
+    )
 
     if compute_dtype is not None:
         batch = batch.astype(compute_dtype)

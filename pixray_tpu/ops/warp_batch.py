@@ -113,6 +113,92 @@ def _warp_gather_bwd(out_hw, padding_mode, res, g):
 _warp_gather.defvjp(_warp_gather_fwd, _warp_gather_bwd)
 
 
+def _select_coords(sx, sy, mode, h, w):
+    """Per-cut padding transform with a TRACED mode (0=refl, 1=border, 2=zeros)."""
+    is_r = mode == 0
+    is_b = mode == 1
+    tx = jnp.where(is_r, _reflect_coord(sx, w),
+                   jnp.where(is_b, jnp.clip(sx, 0.0, w - 1.0), sx))
+    ty = jnp.where(is_r, _reflect_coord(sy, h),
+                   jnp.where(is_b, jnp.clip(sy, 0.0, h - 1.0), sy))
+    return tx, ty
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _warp_gather_modes(work, matrices, modes, out_hw):
+    """Mixed-mode bank warp: per-matrix padding mode (XLA reference path)."""
+    h, w = work.shape[0], work.shape[1]
+
+    def one(m, mode):
+        sx, sy = _source_coords(m, out_hw, work.dtype)
+        tx, ty = _select_coords(sx, sy, mode, h, w)
+        return bilinear_sample(work, tx, ty, padding_mode="zeros")
+
+    return jax.vmap(one)(matrices, modes)
+
+
+def _warp_gather_modes_fwd(work, matrices, modes, out_hw):
+    out = _warp_gather_modes(work, matrices, modes, out_hw)
+    return out, (jax.lax.stop_gradient(work), matrices, modes)
+
+
+def _warp_gather_modes_bwd(out_hw, res, g):
+    work_ref, matrices, modes = res
+    (h, w, c), dtype = work_ref.shape, work_ref.dtype
+    u_iota = jnp.arange(h, dtype=dtype)
+    v_iota = jnp.arange(w, dtype=dtype)
+    k = out_hw[0] * out_hw[1]
+
+    def one_cutout(dwork, args):
+        m, mode, g_n = args
+        sx, sy = _source_coords(m, out_hw, dtype)
+        tx, ty = _select_coords(sx, sy, mode, h, w)
+        txf = tx.reshape(k)
+        tyf = ty.reshape(k)
+        gf = g_n.reshape(k, c)
+        a = jnp.maximum(0.0, 1.0 - jnp.abs(tyf[:, None] - u_iota[None, :]))
+        b = jnp.maximum(0.0, 1.0 - jnp.abs(txf[:, None] - v_iota[None, :]))
+        mm = _matmul_dtype()
+        ag = jnp.einsum("ku,kc->ukc", a.astype(mm), gf.astype(mm),
+                        preferred_element_type=jnp.float32)
+        contrib = jnp.einsum("ukc,kv->uvc", ag.astype(mm), b.astype(mm),
+                             preferred_element_type=jnp.float32)
+        return dwork + contrib.astype(dtype), None
+
+    dwork0 = jnp.zeros((h, w, c), dtype)
+    dwork, _ = jax.lax.scan(one_cutout, dwork0, (matrices, modes, g))
+    return dwork, None, None
+
+
+_warp_gather_modes.defvjp(_warp_gather_modes_fwd, _warp_gather_modes_bwd)
+
+
+def warp_batch_modes(work, matrices, modes, out_size: int, fill_value=0.0,
+                     fill_mask=None):
+    """Mixed-mode bank warp with the closed-form fill compositing.
+
+    XLA twin of ops/pallas_warp.py::pallas_warp_batch_modes (same semantics)."""
+    out_hw = (out_size, out_size)
+    out = _warp_gather_modes(work, matrices, modes, out_hw)
+    if fill_mask is not None:
+        h, w = work.shape[0], work.shape[1]
+
+        def mask_and_cover(m):
+            sx, sy = _source_coords(m, out_hw, work.dtype)
+            inside = (sx >= -0.5) & (sx <= w - 0.5) & (sy >= -0.5) & (sy <= h - 0.5)
+            cx = jnp.clip(jnp.minimum(sx + 1.0, w - sx), 0.0, 1.0)
+            cy = jnp.clip(jnp.minimum(sy + 1.0, h - sy), 0.0, 1.0)
+            return inside, cx * cy
+
+        insides, cover = jax.vmap(mask_and_cover)(matrices)
+        insides = insides[..., None]
+        cover = jax.lax.stop_gradient(cover)[..., None]
+        fill = jnp.asarray(fill_value, work.dtype)
+        filled = jnp.where(insides, out + (1.0 - cover) * fill, fill)
+        out = jnp.where(fill_mask[:, None, None, None], filled, out)
+    return out
+
+
 def warp_batch(work, matrices, out_size: int, padding_mode="zeros", fill_value=0.0):
     """Warp a bank of N homographies out of one canvas with a matmul adjoint.
 

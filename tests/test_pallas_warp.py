@@ -123,3 +123,69 @@ class TestAdaptiveBand:
             return np.asarray(jax.grad(f)(work))
 
         np.testing.assert_allclose(loss(64), loss(0), atol=1e-3, rtol=1e-2)
+
+
+class TestMultiModeKernel:
+    """Unified mixed-mode chunked kernel vs the XLA modes path.
+
+    5 matrices over modes {reflection, border, zeros} with a fill composite on
+    two of them — also exercises the N_CHUNK padding path (5 -> 8)."""
+
+    def _setup(self):
+        rng = np.random.default_rng(7)
+        work = jnp.asarray(rng.random((20, 28, 3)), jnp.float32)
+        ms = random_matrices()  # (3, 3, 3)
+        ms = jnp.concatenate([ms, ms[:2] * 1.05], axis=0)  # (5, 3, 3)
+        modes = jnp.asarray([0, 1, 2, 2, 1], jnp.int32)
+        fill_mask = jnp.asarray([False, False, True, True, False])
+        return work, ms, modes, fill_mask
+
+    def test_forward_matches_xla(self):
+        from pixray_tpu.ops.pallas_warp import pallas_warp_batch_modes
+        from pixray_tpu.ops.warp_batch import warp_batch_modes
+
+        work, ms, modes, fill_mask = self._setup()
+        fast = pallas_warp_batch_modes(
+            work, ms, modes, 16, fill_value=0.4, fill_mask=fill_mask,
+            interpret=True, precision="highest", n_chunk=8,
+        )
+        ref = warp_batch_modes(work, ms, modes, 16, fill_value=0.4, fill_mask=fill_mask)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-4)
+
+    def test_gradient_matches_xla(self):
+        from pixray_tpu.ops.pallas_warp import pallas_warp_batch_modes
+        from pixray_tpu.ops.warp_batch import warp_batch_modes
+
+        work, ms, modes, fill_mask = self._setup()
+        g_out = jnp.asarray(np.random.default_rng(8).random((5, 16, 16, 3)), jnp.float32)
+
+        def loss(fn):
+            def f(wk):
+                out = fn(wk)
+                return jnp.sum(out * g_out)
+            return np.asarray(jax.grad(f)(work))
+
+        g_fast = loss(lambda wk: pallas_warp_batch_modes(
+            wk, ms, modes, 16, fill_value=0.4, fill_mask=fill_mask,
+            interpret=True, precision="highest", n_chunk=8))
+        g_ref = loss(lambda wk: warp_batch_modes(
+            wk, ms, modes, 16, fill_value=0.4, fill_mask=fill_mask))
+        np.testing.assert_allclose(g_fast, g_ref, atol=1e-3, rtol=1e-2)
+
+    def test_matches_per_mode_calls(self):
+        """The unified bank equals separate single-mode warp_batch calls."""
+        from pixray_tpu.ops.warp_batch import warp_batch, warp_batch_modes
+
+        work, ms, modes, fill_mask = self._setup()
+        uni = np.asarray(
+            warp_batch_modes(work, ms, modes, 16, fill_value=0.4, fill_mask=fill_mask)
+        )
+        singles = [
+            warp_batch(work, ms[0:1], 16, padding_mode="reflection"),
+            warp_batch(work, ms[1:2], 16, padding_mode="border"),
+            warp_batch(work, ms[2:3], 16, padding_mode="fill", fill_value=0.4),
+            warp_batch(work, ms[3:4], 16, padding_mode="fill", fill_value=0.4),
+            warp_batch(work, ms[4:5], 16, padding_mode="border"),
+        ]
+        ref = np.concatenate([np.asarray(s) for s in singles], axis=0)
+        np.testing.assert_allclose(uni, ref, atol=1e-4)

@@ -40,10 +40,13 @@ K_TILE = int(os.environ.get("PIXRAY_TPU_WARP_KTILE", "512"))
 # ~1e-2 output quantization sits far below the noise_fac=0.1 augmentation noise
 # every cutout receives downstream, so the fast mode is the default.
 WARP_PREC = os.environ.get("PIXRAY_TPU_WARP_PREC", "bf16")
-# adaptive row-band height for the hat matmuls (0 disables); tiles whose exact
-# corner-bounded source-row span fits the band contract `band` rows instead of
-# the full canvas height — the wide-span minority falls back to the full matmul
-WARP_BAND = int(os.environ.get("PIXRAY_TPU_WARP_BAND", "64"))
+# adaptive row-band height for the hat matmuls (0 disables — the measured
+# default): banding cuts the contraction from H to `band` rows with an exact
+# corner-bounded span test, but on v5e the pl.when + dynamic-slice machinery
+# costs MORE than the saved bf16 matmul passes (80 vs 73 ms/step at band=64),
+# so it stays off; the implementation remains for hardware where matmuls are
+# the binding constraint (parity-tested in tests/test_pallas_warp.py)
+WARP_BAND = int(os.environ.get("PIXRAY_TPU_WARP_BAND", "0"))
 
 
 def _mm(a, b, prec):
@@ -378,23 +381,74 @@ def _augment_inv(inv, modes):
     return jnp.concatenate([inv, mode_row], axis=1)
 
 
+def _chunk_band_plan(inv_ref, s, kt, k_tile, out_size, h, band):
+    """Mode-aware (ok, base) for chunk member s: reflection (mode row < 0.5)
+    requires the raw range in-canvas; border/zeros band on clamped extremes
+    (monotone clamp keeps corner-extremality; out-of-canvas taps are zero)."""
+    k0 = kt * k_tile
+    r0 = jnp.float32(0) + (k0 // out_size)
+    r1 = jnp.minimum((k0 + k_tile - 1) // out_size, out_size - 1).astype(jnp.float32)
+    m10 = inv_ref[s, 1, 0]
+    m11 = inv_ref[s, 1, 1]
+    m12 = inv_ref[s, 1, 2]
+    m20 = inv_ref[s, 2, 0]
+    m21 = inv_ref[s, 2, 1]
+    m22 = inv_ref[s, 2, 2]
+    lo = jnp.float32(1e30)
+    hi = jnp.float32(-1e30)
+    for jj in (jnp.float32(0.0), jnp.float32(out_size - 1)):
+        for ii in (r0.astype(jnp.float32), r1):
+            d = m20 * jj + m21 * ii + m22 + 1e-8
+            sy = (m10 * jj + m11 * ii + m12) / d
+            lo = jnp.minimum(lo, sy)
+            hi = jnp.maximum(hi, sy)
+    is_refl = inv_ref[s, 3, 0] < 0.5
+    in_canvas = jnp.logical_and(lo >= 0.0, hi <= h - 1.0)
+    lo_c = jnp.clip(lo, 0.0, h - 1.0)
+    hi_c = jnp.clip(hi, 0.0, h - 1.0)
+    narrow = (hi_c - lo_c) <= (band - _BAND_MARGIN)
+    ok = jnp.where(is_refl, jnp.logical_and(in_canvas, narrow), narrow)
+    base = jnp.clip(jnp.floor(lo_c).astype(jnp.int32) - 1, 0, h - band)
+    base = (base // 8) * 8
+    return ok, base
+
+
 def _fwd_kernel_multi(inv_ref, work_ref, out_ref, *, k_tile, out_size,
-                      channels, prec, n_chunk):
+                      channels, prec, n_chunk, band):
     h, w = work_ref.shape[1], work_ref.shape[2]
     kt = pl.program_id(1)
     u = jax.lax.broadcasted_iota(jnp.int32, (k_tile, h), 1).astype(jnp.float32)
     v = jax.lax.broadcasted_iota(jnp.int32, (k_tile, w), 1).astype(jnp.float32)
+    ub0 = jax.lax.broadcasted_iota(jnp.int32, (k_tile, band), 1).astype(jnp.float32) if band else None
     for s in range(n_chunk):
         sx, sy = _chunk_coords(inv_ref, s, kt, k_tile, out_size, h, w)
-        a = jnp.maximum(0.0, 1.0 - jnp.abs(sy - u))  # (T, H)
         b = jnp.maximum(0.0, 1.0 - jnp.abs(sx - v))  # (T, W)
-        for c in range(channels):
-            tmp = _mm(a, work_ref[c].astype(jnp.float32), prec)
-            out_ref[s, c, :] = jnp.sum(tmp * b, axis=1)
+        if not band:
+            a = jnp.maximum(0.0, 1.0 - jnp.abs(sy - u))  # (T, H)
+            for c in range(channels):
+                tmp = _mm(a, work_ref[c].astype(jnp.float32), prec)
+                out_ref[s, c, :] = jnp.sum(tmp * b, axis=1)
+            continue
+        ok, base = _chunk_band_plan(inv_ref, s, kt, k_tile, out_size, h, band)
+
+        @pl.when(ok)
+        def _banded(s=s, sx=sx, sy=sy, b=b, base=base):
+            ab = jnp.maximum(0.0, 1.0 - jnp.abs(sy - (base.astype(jnp.float32) + ub0)))
+            for c in range(channels):
+                wb = work_ref[c, pl.ds(base, band), :].astype(jnp.float32)
+                tmp = _mm(ab, wb, prec)
+                out_ref[s, c, :] = jnp.sum(tmp * b, axis=1)
+
+        @pl.when(jnp.logical_not(ok))
+        def _full(s=s, sy=sy, b=b):
+            a = jnp.maximum(0.0, 1.0 - jnp.abs(sy - u))
+            for c in range(channels):
+                tmp = _mm(a, work_ref[c].astype(jnp.float32), prec)
+                out_ref[s, c, :] = jnp.sum(tmp * b, axis=1)
 
 
 def _bwd_kernel_multi(inv_ref, g_ref, dwork_ref, *, k_tile, out_size,
-                      channels, prec, n_chunk):
+                      channels, prec, n_chunk, band):
     h, w = dwork_ref.shape[1], dwork_ref.shape[2]
     kt = pl.program_id(1)
     nb = pl.program_id(0)
@@ -405,16 +459,34 @@ def _bwd_kernel_multi(inv_ref, g_ref, dwork_ref, *, k_tile, out_size,
 
     u = jax.lax.broadcasted_iota(jnp.int32, (k_tile, h), 1).astype(jnp.float32)
     v = jax.lax.broadcasted_iota(jnp.int32, (k_tile, w), 1).astype(jnp.float32)
+    ub0 = jax.lax.broadcasted_iota(jnp.int32, (k_tile, band), 1).astype(jnp.float32) if band else None
     for s in range(n_chunk):
         sx, sy = _chunk_coords(inv_ref, s, kt, k_tile, out_size, h, w)
-        a = jnp.maximum(0.0, 1.0 - jnp.abs(sy - u))
         b = jnp.maximum(0.0, 1.0 - jnp.abs(sx - v))
-        for c in range(channels):
-            gb = b * g_ref[s, c, :].reshape(k_tile, 1)
-            dwork_ref[c] += _mm(a.T, gb, prec)
+        if not band:
+            a = jnp.maximum(0.0, 1.0 - jnp.abs(sy - u))
+            for c in range(channels):
+                gb = b * g_ref[s, c, :].reshape(k_tile, 1)
+                dwork_ref[c] += _mm(a.T, gb, prec)
+            continue
+        ok, base = _chunk_band_plan(inv_ref, s, kt, k_tile, out_size, h, band)
+
+        @pl.when(ok)
+        def _banded(s=s, sx=sx, sy=sy, b=b, base=base):
+            ab = jnp.maximum(0.0, 1.0 - jnp.abs(sy - (base.astype(jnp.float32) + ub0)))
+            for c in range(channels):
+                gb = b * g_ref[s, c, :].reshape(k_tile, 1)
+                dwork_ref[c, pl.ds(base, band), :] += _mm(ab.T, gb, prec)
+
+        @pl.when(jnp.logical_not(ok))
+        def _full(s=s, sy=sy, b=b):
+            a = jnp.maximum(0.0, 1.0 - jnp.abs(sy - u))
+            for c in range(channels):
+                gb = b * g_ref[s, c, :].reshape(k_tile, 1)
+                dwork_ref[c] += _mm(a.T, gb, prec)
 
 
-def _run_fwd_multi(work, inv, modes, out_size, interpret, k_tile, prec, n_chunk):
+def _run_fwd_multi(work, inv, modes, out_size, interpret, k_tile, prec, n_chunk, band):
     n = inv.shape[0]
     h, w, c = work.shape
     k = out_size * out_size
@@ -428,7 +500,7 @@ def _run_fwd_multi(work, inv, modes, out_size, interpret, k_tile, prec, n_chunk)
     aug = _augment_inv(inv, modes)
     kernel = functools.partial(
         _fwd_kernel_multi, k_tile=k_tile, out_size=out_size, channels=c,
-        prec=prec, n_chunk=n_chunk,
+        prec=prec, n_chunk=n_chunk, band=_band_for(h, band),
     )
     work_cm = work.transpose(2, 0, 1)
     out = pl.pallas_call(
@@ -447,7 +519,7 @@ def _run_fwd_multi(work, inv, modes, out_size, interpret, k_tile, prec, n_chunk)
     )
 
 
-def _run_bwd_multi(g, inv, modes, work_shape, out_size, interpret, k_tile, prec, n_chunk):
+def _run_bwd_multi(g, inv, modes, work_shape, out_size, interpret, k_tile, prec, n_chunk, band):
     n = inv.shape[0]
     h, w, c = work_shape
     k = out_size * out_size
@@ -465,7 +537,7 @@ def _run_bwd_multi(g, inv, modes, work_shape, out_size, interpret, k_tile, prec,
     aug = _augment_inv(inv, modes)
     kernel = functools.partial(
         _bwd_kernel_multi, k_tile=k_tile, out_size=out_size, channels=c,
-        prec=prec, n_chunk=n_chunk,
+        prec=prec, n_chunk=n_chunk, band=_band_for(h, band),
     )
     dwork = pl.pallas_call(
         kernel,
@@ -481,20 +553,20 @@ def _run_bwd_multi(g, inv, modes, work_shape, out_size, interpret, k_tile, prec,
     return dwork.transpose(1, 2, 0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def pallas_warp_modes(work, inv, modes, out_size, interpret, k_tile, prec, n_chunk):
-    return _run_fwd_multi(work, inv, modes, out_size, interpret, k_tile, prec, n_chunk)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def pallas_warp_modes(work, inv, modes, out_size, interpret, k_tile, prec, n_chunk, band):
+    return _run_fwd_multi(work, inv, modes, out_size, interpret, k_tile, prec, n_chunk, band)
 
 
-def _pallas_warp_modes_fwd(work, inv, modes, out_size, interpret, k_tile, prec, n_chunk):
-    out = _run_fwd_multi(work, inv, modes, out_size, interpret, k_tile, prec, n_chunk)
+def _pallas_warp_modes_fwd(work, inv, modes, out_size, interpret, k_tile, prec, n_chunk, band):
+    out = _run_fwd_multi(work, inv, modes, out_size, interpret, k_tile, prec, n_chunk, band)
     return out, (jax.lax.stop_gradient(work), inv, modes)
 
 
-def _pallas_warp_modes_bwd(out_size, interpret, k_tile, prec, n_chunk, res, g):
+def _pallas_warp_modes_bwd(out_size, interpret, k_tile, prec, n_chunk, band, res, g):
     work_ref, inv, modes = res
     dwork = _run_bwd_multi(g, inv, modes, work_ref.shape, out_size, interpret,
-                           k_tile, prec, n_chunk)
+                           k_tile, prec, n_chunk, band)
     return dwork.astype(work_ref.dtype), None, None
 
 
@@ -503,7 +575,7 @@ pallas_warp_modes.defvjp(_pallas_warp_modes_fwd, _pallas_warp_modes_bwd)
 
 def pallas_warp_batch_modes(work, matrices, modes, out_size: int, fill_value=0.0,
                             fill_mask=None, interpret=False, k_tile=None,
-                            precision=None, n_chunk=None):
+                            precision=None, n_chunk=None, band=None):
     """Render a mixed-mode cutout bank in ONE kernel launch.
 
     ``modes``: (N,) int32 per-matrix padding mode (0=reflection, 1=border,
@@ -513,9 +585,10 @@ def pallas_warp_batch_modes(work, matrices, modes, out_size: int, fill_value=0.0
     k_tile = K_TILE if k_tile is None else k_tile
     precision = WARP_PREC if precision is None else precision
     n_chunk = N_CHUNK if n_chunk is None else n_chunk
+    band = WARP_BAND if band is None else band
     inv = jax.vmap(inv3x3)(matrices).astype(jnp.float32)
     out = pallas_warp_modes(work, inv, modes, out_size, interpret, k_tile,
-                            precision, n_chunk)
+                            precision, n_chunk, band)
     if fill_mask is not None:
         h, w = work.shape[0], work.shape[1]
         out_hw = (out_size, out_size)

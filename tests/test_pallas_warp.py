@@ -189,3 +189,37 @@ class TestMultiModeKernel:
         ]
         ref = np.concatenate([np.asarray(s) for s in singles], axis=0)
         np.testing.assert_allclose(uni, ref, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_multi_band_matches_unbanded():
+    """Banded unified kernel == unbanded on a full-size canvas, mixed modes."""
+    from pixray_tpu.engine import cutouts as C
+    from pixray_tpu.ops import warp as W
+    from pixray_tpu.ops.pallas_warp import pallas_warp_batch_modes
+
+    rng = np.random.default_rng(11)
+    work = jnp.asarray(rng.random((224, 398, 3)), jnp.float32)
+    m_crop = W.random_resized_crop(jax.random.PRNGKey(1), 224, 398, 224)
+    m_persp = W.mm3(W.random_perspective(jax.random.PRNGKey(2), 224, 398, 0.4), m_crop)
+    m_out = W.crop_box_transform(
+        jnp.float32(300.0), jnp.float32(-40.0), jnp.float32(200.0),
+        jnp.float32(280.0), 224, 224,
+    )
+    ms = jnp.stack([m_crop, m_persp, m_out])
+    modes = jnp.asarray([0, 1, 2], jnp.int32)
+    fill_mask = jnp.asarray([False, False, True])
+    kw = dict(fill_value=0.3, fill_mask=fill_mask, interpret=True,
+              precision="highest", k_tile=4096, n_chunk=4)
+    banded = pallas_warp_batch_modes(work, ms, modes, 224, band=64, **kw)
+    unbanded = pallas_warp_batch_modes(work, ms, modes, 224, band=0, **kw)
+    np.testing.assert_allclose(np.asarray(banded), np.asarray(unbanded), atol=1e-4)
+
+    g_out = jnp.asarray(np.random.default_rng(12).random((3, 224, 224, 3)), jnp.float32)
+
+    def grad_of(band):
+        def f(wk):
+            return jnp.sum(pallas_warp_batch_modes(wk, ms, modes, 224, band=band, **kw) * g_out)
+        return np.asarray(jax.grad(f)(work))
+
+    np.testing.assert_allclose(grad_of(64), grad_of(0), atol=1e-3, rtol=1e-2)

@@ -27,7 +27,9 @@ def test_native_matches_numpy():
     if lib is None:
         pytest.skip("native rasterizer unavailable (no g++?)")
     polys = _test_polygons()
-    native_idx, native_valid = cellrender._build_coverage_map_native(polys, 30, 20, lib)
+    native_idx, native_valid = cellrender._trim_depth(
+        *cellrender._build_coverage_map_native(polys, 30, 20, lib)
+    )
 
     # force the numpy path
     saved = cellrender._native_lib, cellrender._native_checked

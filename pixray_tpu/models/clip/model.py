@@ -70,11 +70,27 @@ class MultiHeadAttention(nn.Module):
         k = k.reshape(b, t, h, hd)
         v = v.reshape(b, t, h, hd)
 
-        # jax.nn.dot_product_attention picks the fused TPU attention path;
-        # causal masking (text tower) passed as is_causal
-        out = jax.nn.dot_product_attention(
-            q, k, v, is_causal=(mask is not None)
-        )
+        import os
+
+        if os.environ.get("PIXRAY_TPU_CLIP_ATTN", "fused") == "einsum":
+            # plain batched attention: at CLIP's tiny sequence lengths (50/77
+            # tokens) the flash-style fused kernel's chunking machinery can
+            # cost more than the O(T^2) memory it saves (perf knob)
+            scale = hd ** -0.5
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32) * scale
+            if mask is not None:
+                causal = jnp.tril(jnp.ones((t, t), bool))
+                scores = jnp.where(causal[None, None], scores, -jnp.inf)
+            probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                             preferred_element_type=jnp.float32)
+        else:
+            # jax.nn.dot_product_attention picks the fused TPU attention path;
+            # causal masking (text tower) passed as is_causal
+            out = jax.nn.dot_product_attention(
+                q, k, v, is_causal=(mask is not None)
+            )
         out = out.astype(x.dtype).reshape(b, t, d)
         return nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
 

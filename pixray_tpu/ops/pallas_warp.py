@@ -67,6 +67,24 @@ def _mm(a, b, prec):
     return dot(a_hi, b_hi) + dot(a_lo, b_hi) + dot(a_hi, b_lo)
 
 
+def _mm_t(a, b, prec):
+    """aᵀ @ b via dot_general contracting axis 0 of both — no materialized
+    transpose: (T, H), (T, W) -> (H, W) f32."""
+    dn = (((0,), (0,)), ((), ()))
+    if prec == "highest":
+        return jax.lax.dot_general(a, b, dn, preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+    if prec == "bf16":
+        return jax.lax.dot_general(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                                   dn, preferred_element_type=jnp.float32)
+    a_hi = a.astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dot = lambda x, y: jax.lax.dot_general(x, y, dn, preferred_element_type=jnp.float32)
+    return dot(a_hi, b_hi) + dot(a_lo, b_hi) + dot(a_hi, b_lo)
+
+
 def _coords_for_tile(inv_ref, kt, k_tile, out_size, dtype):
     """Source coords for this tile's output pixels, from the inverse homography.
 
@@ -226,7 +244,7 @@ def _bwd_kernel(inv_ref, g_ref, dwork_ref, *, k_tile, out_size, padding_mode,
         a = jnp.maximum(0.0, 1.0 - jnp.abs(sy - u))  # (T, H)
         for c in range(channels):
             gb = b * g_ref[0, c, :].reshape(k_tile, 1)  # (T, W)
-            contrib = _mm(a.T, gb, prec)  # (H, W)
+            contrib = _mm_t(a, gb, prec)  # (H, W)
             dwork_ref[c] += contrib
 
     if not band:
@@ -467,7 +485,7 @@ def _bwd_kernel_multi(inv_ref, g_ref, dwork_ref, *, k_tile, out_size,
             a = jnp.maximum(0.0, 1.0 - jnp.abs(sy - u))
             for c in range(channels):
                 gb = b * g_ref[s, c, :].reshape(k_tile, 1)
-                dwork_ref[c] += _mm(a.T, gb, prec)
+                dwork_ref[c] += _mm_t(a, gb, prec)
             continue
         ok, base = _chunk_band_plan(inv_ref, s, kt, k_tile, out_size, h, band)
 
@@ -476,14 +494,14 @@ def _bwd_kernel_multi(inv_ref, g_ref, dwork_ref, *, k_tile, out_size,
             ab = jnp.maximum(0.0, 1.0 - jnp.abs(sy - (base.astype(jnp.float32) + ub0)))
             for c in range(channels):
                 gb = b * g_ref[s, c, :].reshape(k_tile, 1)
-                dwork_ref[c, pl.ds(base, band), :] += _mm(ab.T, gb, prec)
+                dwork_ref[c, pl.ds(base, band), :] += _mm_t(ab, gb, prec)
 
         @pl.when(jnp.logical_not(ok))
         def _full(s=s, sy=sy, b=b):
             a = jnp.maximum(0.0, 1.0 - jnp.abs(sy - u))
             for c in range(channels):
                 gb = b * g_ref[s, c, :].reshape(k_tile, 1)
-                dwork_ref[c] += _mm(a.T, gb, prec)
+                dwork_ref[c] += _mm_t(a, gb, prec)
 
 
 def _run_fwd_multi(work, inv, modes, out_size, interpret, k_tile, prec, n_chunk, band):

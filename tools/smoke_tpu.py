@@ -5,6 +5,9 @@ must strictly reduce the CLIP-prompt loss.  Run manually on TPU:
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("PIXRAY_TPU_NO_DOWNLOAD", "1")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
 import jax

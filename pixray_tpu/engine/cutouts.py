@@ -192,24 +192,44 @@ def render_cutouts(
     zoom_ms, wide_ms = transforms
     nz, nw = zoom_ms.shape[0], wide_ms.shape[0]
 
-    # one mixed-mode bank warp: zoom cuts pad by iteration parity
-    # (reflection/border — a traced per-cut mode, not a lax.cond), wide cuts
-    # zero-pad and composite over the random gray via closed-form coverage
-    ms = jnp.concatenate([zoom_ms, wide_ms], axis=0)
-    zoom_mode = jnp.where(reflect_padding, 0, 1).astype(jnp.int32)  # 0=refl, 1=border
-    modes = jnp.concatenate(
-        [jnp.broadcast_to(zoom_mode, (nz,)), jnp.full((nw,), 2, jnp.int32)], axis=0
-    )
-    fill_mask = (
-        jnp.concatenate(
-            [jnp.zeros((nz,), bool), jnp.ones((nw,), bool)], axis=0
+    if os.environ.get("PIXRAY_TPU_UNIFIED_WARP") == "1":
+        # one mixed-mode bank warp: zoom cuts pad by iteration parity
+        # (reflection/border — a traced per-cut mode, not a lax.cond), wide cuts
+        # zero-pad and composite over the random gray via closed-form coverage.
+        # KNOWN ISSUE (BUGS.md): the unified kernel's backward miscompiles on
+        # the current TPU backend inside the full engine step (NaN gradients;
+        # finite in isolation and on CPU) — opt-in until resolved.
+        ms = jnp.concatenate([zoom_ms, wide_ms], axis=0)
+        zoom_mode = jnp.where(reflect_padding, 0, 1).astype(jnp.int32)  # 0=refl, 1=border
+        modes = jnp.concatenate(
+            [jnp.broadcast_to(zoom_mode, (nz,)), jnp.full((nw,), 2, jnp.int32)], axis=0
         )
-        if nw
-        else None
-    )
-    batch = warp_batch_modes(
-        work, ms, modes, cut_size, fill_value=fill_color, fill_mask=fill_mask
-    )
+        fill_mask = (
+            jnp.concatenate(
+                [jnp.zeros((nz,), bool), jnp.ones((nw,), bool)], axis=0
+            )
+            if nw
+            else None
+        )
+        batch = warp_batch_modes(
+            work, ms, modes, cut_size, fill_value=fill_color, fill_mask=fill_mask
+        )
+    else:
+        parts = []
+        if nz:
+            # iteration-parity padding alternation via lax.cond (one branch runs)
+            zoom = jax.lax.cond(
+                reflect_padding,
+                lambda w: warp_batch(w, zoom_ms, cut_size, padding_mode="reflection"),
+                lambda w: warp_batch(w, zoom_ms, cut_size, padding_mode="border"),
+                work,
+            )
+            parts.append(zoom)
+        if nw:
+            parts.append(
+                warp_batch(work, wide_ms, cut_size, padding_mode="fill", fill_value=fill_color)
+            )
+        batch = jnp.concatenate(parts, axis=0)
 
     if compute_dtype is not None:
         batch = batch.astype(compute_dtype)

@@ -16,16 +16,23 @@ def rgb_to_hsv(rgb):
     minc = jnp.min(rgb, axis=-1)
     v = maxc
     delta = maxc - minc
-    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-8), 0.0)
+    # double-where: a plain `where(cond, x/d, 0)` still differentiates the
+    # UNTAKEN branch, and its 1/d² cotangent terms go Inf/NaN at gray pixels
+    # (d -> 0; guaranteed to occur on bf16-quantized cutouts and constant
+    # fills).  Substituting a safe denominator BEFORE the division keeps both
+    # passes finite with exactly-zero gradients on the degenerate set.
+    gray = delta <= 1e-6
+    dark = maxc <= 1e-6
+    s = jnp.where(dark, 0.0, delta / jnp.where(dark, 1.0, maxc))
 
-    safe_delta = jnp.maximum(delta, 1e-8)
+    safe_delta = jnp.where(gray, 1.0, delta)
     rc = (maxc - r) / safe_delta
     gc = (maxc - g) / safe_delta
     bc = (maxc - b) / safe_delta
     h = jnp.where(
         maxc == r, bc - gc, jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc)
     )
-    h = jnp.where(delta > 0, (h / 6.0) % 1.0, 0.0)
+    h = jnp.where(gray, 0.0, (h / 6.0) % 1.0)
     return jnp.stack([h, s, v], axis=-1)
 
 
@@ -45,13 +52,17 @@ def hsv_to_rgb(hsv):
 
 
 def adjust_hue_saturation(img, hue_shift, sat_factor):
-    """Shift hue by ``hue_shift`` (fraction of the hue circle) and scale saturation."""
-    hsv = rgb_to_hsv(jnp.clip(img, 0.0, 1.0))
+    """Shift hue by ``hue_shift`` (fraction of the hue circle) and scale saturation.
+
+    Internal math runs in f32 regardless of the input dtype: bf16 quantization
+    makes near-gray ties pervasive, and the HSV round-trip's divisions need the
+    f32 epsilons to stay stable (output returns in the input dtype)."""
+    dtype = img.dtype
+    hsv = rgb_to_hsv(jnp.clip(img.astype(jnp.float32), 0.0, 1.0))
     h = (hsv[..., 0] + hue_shift) % 1.0
     s = jnp.clip(hsv[..., 1] * sat_factor, 0.0, 1.0)
     adjusted = hsv_to_rgb(jnp.stack([h, s, hsv[..., 2]], axis=-1))
-    # straight-through-ish: keep gradients flowing via the value channel path
-    return adjusted
+    return adjusted.astype(dtype)
 
 
 def random_color_jitter(key, img, hue=0.1, saturation=0.1, p=0.8):

@@ -142,3 +142,26 @@ class TestSpotMasks:
         keep_on = 1.0 - (load_spot_mask(None, 64, 1.0) >= 0.5)
         assert keep_on[h, h] == 1.0  # spot cutouts keep the center
         assert keep_on[1, 1] == 0.0  # ...and zero the ring
+
+
+def test_color_jitter_gradients_finite_on_gray():
+    """Gray/constant pixels must yield FINITE gradients through the jitter.
+
+    Regression for the round-2 NaN hunt (BUGS.md): `where(cond, x/d, 0)` still
+    differentiates the untaken branch, whose 1/d² cotangents blow up at d=0 —
+    guaranteed on bf16-quantized cutouts and constant gray fills."""
+    import jax
+    import jax.numpy as jnp
+    from pixray_tpu.ops.color import random_color_jitter
+
+    # worst case: exactly-gray image (delta == 0 everywhere) in bf16
+    for dtype in (jnp.float32, jnp.bfloat16):
+        img = jnp.full((16, 16, 3), 0.5, dtype)
+
+        def loss(im):
+            out = random_color_jitter(jax.random.PRNGKey(3), im, hue=0.1,
+                                      saturation=0.1, p=1.0)
+            return jnp.sum((out.astype(jnp.float32)) ** 2)
+
+        g = jax.grad(loss)(img)
+        assert bool(jnp.isfinite(g.astype(jnp.float32)).all()), dtype

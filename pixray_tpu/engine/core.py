@@ -359,6 +359,7 @@ class Engine:
         self._multi_step = None
         self._block = None  # buffered per-step results of the in-flight block
         self._next_block = None  # speculatively dispatched following block
+        self._display_streaming = False  # run(return_display=True) sets this
         self._synth = jax.jit(
             lambda z, it, key: self.drawer.synth(self.refs["drawer_params"], z, it, key),
             static_argnums=(),
@@ -487,6 +488,13 @@ class Engine:
             if ck and it and it % ck == 0:
                 n = it - cur_it + 1
                 break
+            # display streaming consumes last_image right after iteration `it`
+            # (run() yields when (it+1) % display_every == 0); blocks carry only
+            # their FINAL image, so a mid-block display would show a future frame
+            de = args.display_every
+            if self._display_streaming and de and (it + 1) % de == 0:
+                n = it - cur_it + 1
+                break
         for it in range(cur_it + 1, cur_it + n):  # pre-step events: none inside
             if apply_overlay(args, it):
                 n = it - cur_it
@@ -541,6 +549,10 @@ class Engine:
             if (
                 self._next_block is None
                 and not self._has_host_event(b["start"] + b["n"] - 1)
+                # overlay is a PRE-step event: _block_size(nxt)'s scan starts at
+                # nxt+1, so an overlay due exactly at nxt must block speculation
+                # (train() would mutate z after this block was dispatched)
+                and not apply_overlay(self.args, nxt)
                 and self._block_size(nxt) == want
                 and want > 1
             ):
@@ -688,6 +700,9 @@ class Engine:
         the run is complete; with return_display, returns False every
         display_every iterations so callers can stream partial results."""
         args = self.args
+        # blocks must truncate at display boundaries when the caller streams
+        # partial results (the buffered image is the block's final frame)
+        self._display_streaming = return_display
 
         if args.animation_dir is not None:
             return self._run_animation()

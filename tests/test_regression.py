@@ -14,8 +14,11 @@ pytestmark = pytest.mark.slow
 import pixray_tpu as pixray
 from tests.test_e2e import tiny_settings
 
-# recorded 2026-08-16 (round 1), jax 0.9.0, CPU
-EXPECTED_TRAJECTORY = [1.014848, 0.908559, 0.856183]
+# recorded 2026-08-17 (round 3), jax 0.9.0, CPU.
+# Re-recorded after commit 8f3e926 (round 2) changed seeded numerics: the color
+# jitter now runs its HSV math in f32 with double-where safe denominators (the
+# gray-pixel NaN fix), which legitimately moves the seeded trajectory.
+EXPECTED_TRAJECTORY = [1.028834, 0.941927, 0.809862]
 
 
 def test_seeded_trajectory(tmp_path):

@@ -242,32 +242,52 @@ class VDiffUNet(nn.Module):
 
 
 def load_vdiff_model(name: str):
-    """Build the UNet; convert models/<name>.pth when present, else random init."""
+    """Build the UNet; convert models/<name>.pth when present, else random init.
+
+    Real checkpoint names (and the tiny_up* CI specs) run on the upstream-shaped
+    executor (models/vdiff_upstream.py) whose layer map matches the published
+    v-diffusion-pytorch module tree, so a downloaded ``.pth`` converts directly
+    via ``convert_vdiff_state_dict``.  ``tiny_test`` keeps the compact flax
+    VDiffUNet for fast CI."""
+    import hashlib
     import os
 
-    cfg = VDIFF_CONFIGS[name]
-    model = VDiffUNet(cfg)
-    import hashlib
+    from pixray_tpu.models.vdiff_upstream import (
+        UPSTREAM_SPECS,
+        VDiffUpstream,
+        convert_vdiff_state_dict,
+        init_params,
+    )
 
     key = jax.random.PRNGKey(
         int.from_bytes(hashlib.sha256(name.encode()).digest()[:4], "big") % (2**31)
     )
+
+    if name in UPSTREAM_SPECS:
+        spec = UPSTREAM_SPECS[name]
+        model = VDiffUpstream(spec)
+        ckpt = os.path.join(os.environ.get("PIXRAY_TPU_MODELS", "models"), f"{name}.pth")
+        if not os.path.exists(ckpt) and name in VDIFF_CHECKPOINT_URLS:
+            from pixray_tpu.utils.download import wget_file
+
+            wget_file(VDIFF_CHECKPOINT_URLS[name], ckpt)
+        if os.path.exists(ckpt):
+            import torch
+
+            sd = torch.load(ckpt, map_location="cpu")
+            sd = sd.get("model", sd) if isinstance(sd, dict) else sd
+            sd = {k: v.numpy() for k, v in sd.items()}
+            variables = convert_vdiff_state_dict(sd, spec)
+            print(f"loaded v-diffusion weights for {name} from {ckpt}")
+        else:
+            print(f"WARNING: v-diffusion weights for {name} not found — random init")
+            variables = init_params(spec, key)
+        return model, variables, spec
+
+    cfg = VDIFF_CONFIGS[name]
+    model = VDiffUNet(cfg)
     r = min(cfg.resolution, 64)
     clip_embed = jnp.zeros((1, cfg.clip_embed_dim)) if cfg.clip_model else None
     variables = model.init(key, jnp.zeros((1, r, r, 3)), jnp.zeros((1,)), clip_embed)
-
-    ckpt = os.path.join(os.environ.get("PIXRAY_TPU_MODELS", "models"), f"{name}.pth")
-    if not os.path.exists(ckpt) and name in VDIFF_CHECKPOINT_URLS:
-        from pixray_tpu.utils.download import wget_file
-
-        wget_file(VDIFF_CHECKPOINT_URLS[name], ckpt)
-    if os.path.exists(ckpt):
-        print(
-            f"NOTE: found {ckpt}; trained v-diffusion weight conversion requires the "
-            "upstream layer map — run tools/validate_vdiff.py to audit the "
-            "checkpoint's layer-map signature against this UNet. Using "
-            "architecture-matched random init for now."
-        )
-    else:
-        print(f"WARNING: v-diffusion weights for {name} not found — random init")
+    print(f"WARNING: v-diffusion weights for {name} not found — random init")
     return model, variables, cfg

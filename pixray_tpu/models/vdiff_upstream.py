@@ -1,0 +1,399 @@
+"""Upstream-shaped v-diffusion UNets: spec, JAX executor, and .pth converter.
+
+The reference consumes crowsonkb's v-diffusion-pytorch (pixray fork) as a git
+submodule that is NOT vendored in the reference tree (/root/reference/vdiff.py:12-14
+imports ``diffusion.get_model`` from an empty submodule dir), so the layer maps
+here are re-implemented from the PUBLISHED architecture of that repo's model
+files: nested ``SkipBlock``s over a ``nn.Sequential`` trunk, ``ResConvBlock``s
+(plain family: danbooru/imagenet/wikiart/yfcc) or mapping-conditioned
+``ResModConvBlock``s (cc12m family), Fourier timestep features concatenated as
+input planes, and ``SelfAttention2d`` at the coarse scales.
+
+Everything is driven by ONE spec per model so three artifacts stay in lockstep:
+
+  * the JAX executor (`VDiffUpstream.apply`) — NHWC, jit-friendly, static
+    Python recursion over the spec;
+  * the torch-state-dict converter (`convert_vdiff_state_dict`) — keys follow
+    the upstream ``net.<i>.main.<j>`` Sequential numbering exactly (pooling /
+    ReLU / Upsample consume indices despite having no parameters);
+  * the torch mirror used by the tiny-scale golden test
+    (tests/test_vdiff_golden.py builds actual torch modules from the same spec
+    and checks pred parity on fixed fixtures).
+
+Per-model channel tables are best-effort reconstructions of the published code;
+`tools/validate_vdiff.py` diffs a real checkpoint's key/shape signature against
+`expected_state_shapes(spec)` the moment an asset lands, so a wrong table is a
+table fix, not a machinery fix.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# spec
+#
+# ops (each op consumes exactly one index of its containing Sequential):
+#   ("conv",    c_in, c_mid, c_out, is_last)   ResConvBlock
+#   ("modconv", c_in, c_mid, c_out, is_last)   ResModConvBlock (cc12m family)
+#   ("attn",    c, n_head)                     SelfAttention2d
+#   ("down",)                                  nn.AvgPool2d(2)
+#   ("up",)                                    nn.Upsample(bilinear, align_corners=False)
+#   ("skip", [subops])                         SkipBlock (cat([main(x), x], channels))
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class UpstreamSpec:
+    name: str
+    resolution: int
+    cs: tuple  # channels per level, outermost first
+    attn_levels: tuple  # level indices with self-attention
+    conv_kind: str  # "conv" | "modconv"
+    net: tuple = field(default=())  # nested op tree (built by build_spec)
+    clip_embed_dim: int | None = None  # cc12m family conditioning
+    mapping_width: int = 1024
+    mapping_ff: int = 128  # mapping-network Fourier width
+    input_ff: int = 16  # timestep planes concatenated to the input
+    clip_model: str | None = None
+
+
+def _level_ops(cs, attn_levels, kind, d, in_ch, out_ch):
+    """Ops for level ``d`` (the part that lives inside level d-1's SkipBlock,
+    or the whole net for d=0)."""
+    c = cs[d]
+    att = d in attn_levels
+    head = lambda ch: ("attn", ch, max(1, ch // 64))
+    ops = []
+    last = d == len(cs) - 1
+    if last:
+        # innermost: 4 conv blocks, no nested skip
+        ops.append((kind, in_ch, c, c, False))
+        if att:
+            ops.append(head(c))
+        ops.append((kind, c, c, c, False))
+        if att:
+            ops.append(head(c))
+        ops.append((kind, c, c, c, False))
+        if att:
+            ops.append(head(c))
+        ops.append((kind, c, c, out_ch, False))
+        if att:
+            ops.append(head(out_ch))
+        return ops
+    ops.append((kind, in_ch, c, c, False))
+    if att:
+        ops.append(head(c))
+    ops.append((kind, c, c, c, False))
+    if att:
+        ops.append(head(c))
+    inner = [("down",)] + _level_ops(cs, attn_levels, kind, d + 1, c, c) + [("up",)]
+    ops.append(("skip", tuple(inner)))
+    is_out = d == 0
+    ops.append((kind, c * 2, c, c, False))
+    if att:
+        ops.append(head(c))
+    ops.append((kind, c, c, out_ch, is_out))
+    if att and not is_out:
+        ops.append(head(out_ch))
+    return ops
+
+
+def build_spec(name, resolution, cs, attn_levels, conv_kind, **kw) -> UpstreamSpec:
+    in_ch = 3 + kw.get("input_ff", 16)
+    net = tuple(_level_ops(cs, attn_levels, conv_kind, 0, in_ch, 3))
+    return UpstreamSpec(
+        name=name, resolution=resolution, cs=tuple(cs),
+        attn_levels=tuple(attn_levels), conv_kind=conv_kind, net=net, **kw
+    )
+
+
+_C = 128
+UPSTREAM_SPECS = {
+    # plain family (ResConvBlock, no mapping) — published 128px models
+    "danbooru_128": build_spec("danbooru_128", 128, (_C, 2 * _C, 2 * _C, 4 * _C, 4 * _C, 8 * _C), (4, 5), "conv"),
+    "imagenet_128": build_spec("imagenet_128", 128, (_C, 2 * _C, 2 * _C, 4 * _C, 4 * _C, 8 * _C), (4, 5), "conv"),
+    "wikiart_128": build_spec("wikiart_128", 128, (_C, 2 * _C, 2 * _C, 4 * _C, 4 * _C, 8 * _C), (4, 5), "conv"),
+    "wikiart_256": build_spec("wikiart_256", 256, (_C, 2 * _C, 2 * _C, 4 * _C, 4 * _C, 8 * _C), (4, 5), "conv"),
+    # yfcc family: 512px, one extra outer level at half channels
+    "yfcc_1": build_spec("yfcc_1", 512, (_C // 2, _C, 2 * _C, 2 * _C, 4 * _C, 4 * _C, 8 * _C), (5, 6), "conv"),
+    "yfcc_2": build_spec("yfcc_2", 512, (_C // 2, _C, 2 * _C, 2 * _C, 4 * _C, 4 * _C, 8 * _C), (5, 6), "conv"),
+    # cc12m family: CLIP-conditioned modulated conv blocks
+    "cc12m_1": build_spec("cc12m_1", 256, (_C, 2 * _C, 2 * _C, 4 * _C, 4 * _C, 8 * _C), (4, 5), "modconv",
+                          clip_embed_dim=512, clip_model="ViT-B/16"),
+    "cc12m_1_cfg": build_spec("cc12m_1_cfg", 256, (_C, 2 * _C, 2 * _C, 4 * _C, 4 * _C, 8 * _C), (4, 5), "modconv",
+                              clip_embed_dim=512, clip_model="ViT-B/16"),
+    # tiny CI models exercising both block kinds end-to-end
+    "tiny_up": build_spec("tiny_up", 32, (8, 16), (1,), "conv"),
+    "tiny_up_mod": build_spec("tiny_up_mod", 32, (8, 16), (1,), "modconv",
+                              clip_embed_dim=12, mapping_width=16, mapping_ff=8,
+                              clip_model="TinyTest"),
+}
+
+
+# ---------------------------------------------------------------------------
+# state-dict shape signature (for the converter, the audit tool, and init)
+# ---------------------------------------------------------------------------
+
+
+def _conv_block_shapes(kind, c_in, c_mid, c_out, is_last, path, feats_in, out):
+    """Parameter shapes (torch layouts) of one Res(Mod)ConvBlock."""
+    if kind == "conv":
+        # main: 0 Conv, 1 ReLU, 2 Conv, 3 ReLU/Identity
+        out[f"{path}.main.0.weight"] = (c_mid, c_in, 3, 3)
+        out[f"{path}.main.0.bias"] = (c_mid,)
+        out[f"{path}.main.2.weight"] = (c_out, c_mid, 3, 3)
+        out[f"{path}.main.2.bias"] = (c_out,)
+    else:
+        # main: 0 Conv, 1 GroupNorm(affine=False), 2 Modulation2d, 3 ReLU,
+        #       4 Conv, 5 GroupNorm, 6 Modulation2d, 7 ReLU  (5-7 Identity when is_last)
+        out[f"{path}.main.0.weight"] = (c_mid, c_in, 3, 3)
+        out[f"{path}.main.0.bias"] = (c_mid,)
+        out[f"{path}.main.2.layer.weight"] = (c_mid * 2, feats_in)
+        out[f"{path}.main.4.weight"] = (c_out, c_mid, 3, 3)
+        out[f"{path}.main.4.bias"] = (c_out,)
+        if not is_last:
+            out[f"{path}.main.6.layer.weight"] = (c_out * 2, feats_in)
+    if c_in != c_out:
+        out[f"{path}.skip.weight"] = (c_out, c_in, 1, 1)
+
+
+def _attn_shapes(c, path, out):
+    out[f"{path}.norm.weight"] = (c,)
+    out[f"{path}.norm.bias"] = (c,)
+    out[f"{path}.qkv_proj.weight"] = (c * 3, c, 1, 1)
+    out[f"{path}.qkv_proj.bias"] = (c * 3,)
+    out[f"{path}.out_proj.weight"] = (c, c, 1, 1)
+    out[f"{path}.out_proj.bias"] = (c,)
+
+
+def _walk_shapes(ops, prefix, feats_in, out):
+    for i, op in enumerate(ops):
+        path = f"{prefix}.{i}"
+        if op[0] in ("conv", "modconv"):
+            _, c_in, c_mid, c_out, is_last = op
+            _conv_block_shapes(op[0], c_in, c_mid, c_out, is_last, path, feats_in, out)
+        elif op[0] == "attn":
+            _attn_shapes(op[1], path, out)
+        elif op[0] == "skip":
+            _walk_shapes(op[1], f"{path}.main", feats_in, out)
+        # down/up consume the index, no params
+
+
+def expected_state_shapes(spec: UpstreamSpec) -> dict:
+    """Full torch-layout state-dict shape signature for ``spec``."""
+    out: dict = {}
+    out["timestep_embed.weight"] = (spec.input_ff // 2, 1)
+    feats_in = spec.mapping_width
+    if spec.conv_kind == "modconv":
+        w, ed, ff = spec.mapping_width, spec.clip_embed_dim, spec.mapping_ff
+        out["mapping_timestep_embed.weight"] = (ff // 2, 1)
+        # mapping: ResLinearBlock(ed+ff, w, w), ResLinearBlock(w, w, w, is_last)
+        out["mapping.0.main.0.weight"] = (w, ed + ff)
+        out["mapping.0.main.0.bias"] = (w,)
+        out["mapping.0.main.2.weight"] = (w, w)
+        out["mapping.0.main.2.bias"] = (w,)
+        out["mapping.0.skip.weight"] = (w, ed + ff)
+        out["mapping.1.main.0.weight"] = (w, w)
+        out["mapping.1.main.0.bias"] = (w,)
+        out["mapping.1.main.2.weight"] = (w, w)
+        out["mapping.1.main.2.bias"] = (w,)
+    _walk_shapes(spec.net, "net", feats_in, out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# converter: torch state dict -> executor params (JAX layouts)
+# ---------------------------------------------------------------------------
+
+
+def convert_vdiff_state_dict(sd, spec: UpstreamSpec) -> dict:
+    """Torch state dict -> flat {upstream key: jnp array} with JAX layouts
+    (conv OIHW->HWIO, linear (out,in)->(in,out)).  Raises KeyError/ValueError
+    with the offending key on any signature mismatch."""
+    expected = expected_state_shapes(spec)
+    params = {}
+    for k, shape in expected.items():
+        if k not in sd:
+            raise KeyError(f"{spec.name}: checkpoint missing parameter {k} {shape}")
+        v = np.asarray(sd[k], dtype=np.float32)
+        if tuple(v.shape) != tuple(shape):
+            raise ValueError(f"{spec.name}: {k} has shape {tuple(v.shape)}, expected {shape}")
+        if v.ndim == 4:  # conv OIHW -> HWIO
+            v = v.transpose(2, 3, 1, 0)
+        elif v.ndim == 2:  # linear (out,in) -> (in,out)
+            v = v.T
+        params[k] = jnp.asarray(v)
+    extra = sorted(set(sd.keys()) - set(expected.keys()))
+    if extra:
+        raise ValueError(f"{spec.name}: checkpoint has {len(extra)} unmapped keys, e.g. {extra[:5]}")
+    return params
+
+
+def init_params(spec: UpstreamSpec, key) -> dict:
+    """Random init with torch-Conv2d-style fan-in scaling, in JAX layouts."""
+    params = {}
+    for k, shape in expected_state_shapes(spec).items():
+        key, sub = jax.random.split(key)
+        if k.endswith("timestep_embed.weight"):
+            # FourierFeatures std=1, stored in the JAX (in, out/2) layout
+            params[k] = jax.random.normal(sub, (shape[1], shape[0]))
+        elif len(shape) == 4:
+            o, i, kh, kw = shape
+            bound = 1.0 / math.sqrt(i * kh * kw)
+            params[k] = jax.random.uniform(sub, (kh, kw, i, o), minval=-bound, maxval=bound)
+        elif len(shape) == 2:
+            o, i = shape
+            bound = 1.0 / math.sqrt(i)
+            params[k] = jax.random.uniform(sub, (i, o), minval=-bound, maxval=bound)
+        else:
+            params[k] = jnp.zeros(shape) if k.endswith("bias") else jnp.ones(shape)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# JAX executor (NHWC)
+# ---------------------------------------------------------------------------
+
+
+def _conv2d(x, w, b=None):
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    return y if b is None else y + b.astype(x.dtype)
+
+
+def _groupnorm1(x, weight=None, bias=None, eps=1e-5):
+    """nn.GroupNorm(1, c): normalize over (H, W, C) per sample."""
+    mean = x.mean(axis=(1, 2, 3), keepdims=True)
+    var = x.var(axis=(1, 2, 3), keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    if weight is not None:
+        y = y * weight.astype(x.dtype) + bias.astype(x.dtype)
+    return y
+
+
+def _fourier(t, w):
+    """FourierFeatures: t (B, F_in) @ w (F_in, F_out/2) -> cat(cos, sin)."""
+    f = 2 * math.pi * (t @ w.astype(t.dtype))
+    return jnp.concatenate([jnp.cos(f), jnp.sin(f)], axis=-1)
+
+
+def _res_conv(p, path, x, cond, kind, c_in, c_mid, c_out, is_last):
+    skip = x if c_in == c_out else _conv2d(x, p[f"{path}.skip.weight"])
+    if kind == "conv":
+        h = _conv2d(x, p[f"{path}.main.0.weight"], p[f"{path}.main.0.bias"])
+        h = jax.nn.relu(h)
+        h = _conv2d(h, p[f"{path}.main.2.weight"], p[f"{path}.main.2.bias"])
+        if not is_last:
+            h = jax.nn.relu(h)
+        return h + skip
+    # modconv: Conv, GN(affine=False), Modulation2d, ReLU, Conv, [GN, Mod, ReLU]
+    def modulate(h, wkey):
+        sc_sh = cond @ p[wkey].astype(h.dtype)  # (B, 2*c)
+        scales, shifts = jnp.split(sc_sh, 2, axis=-1)
+        return shifts[:, None, None, :] + h * (scales[:, None, None, :] + 1.0)
+
+    h = _conv2d(x, p[f"{path}.main.0.weight"], p[f"{path}.main.0.bias"])
+    h = _groupnorm1(h)
+    h = modulate(h, f"{path}.main.2.layer.weight")
+    h = jax.nn.relu(h)
+    h = _conv2d(h, p[f"{path}.main.4.weight"], p[f"{path}.main.4.bias"])
+    if not is_last:
+        h = _groupnorm1(h)
+        h = modulate(h, f"{path}.main.6.layer.weight")
+        h = jax.nn.relu(h)
+    return h + skip
+
+
+def _self_attention(p, path, x, c, n_head):
+    b, h, w, _ = x.shape
+    y = _groupnorm1(x, p[f"{path}.norm.weight"], p[f"{path}.norm.bias"])
+    qkv = _conv2d(y, p[f"{path}.qkv_proj.weight"], p[f"{path}.qkv_proj.bias"])
+    # channel layout matches torch .view([n, n_head*3, c//n_head, h*w]):
+    # channels factor as (head*3, c_head) with qkv INTERLEAVED per head triple?
+    # No: torch chunks dim 1 into 3 AFTER the view, so the first n_head groups
+    # are q-heads, then k-heads, then v-heads.
+    d = c // n_head
+    qkv = qkv.reshape(b, h * w, 3 * n_head, d)
+    q, k, v = qkv[:, :, :n_head], qkv[:, :, n_head:2 * n_head], qkv[:, :, 2 * n_head:]
+    scale = d ** -0.25
+    att = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k * scale,
+                     preferred_element_type=jnp.float32)
+    att = jax.nn.softmax(att, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(b, h, w, c)
+    return x + _conv2d(out, p[f"{path}.out_proj.weight"], p[f"{path}.out_proj.bias"])
+
+
+def _run_ops(p, ops, prefix, x, cond):
+    for i, op in enumerate(ops):
+        path = f"{prefix}.{i}"
+        kind = op[0]
+        if kind in ("conv", "modconv"):
+            x = _res_conv(p, path, x, cond, kind, op[1], op[2], op[3], op[4])
+        elif kind == "attn":
+            x = _self_attention(p, path, x, op[1], op[2])
+        elif kind == "down":
+            b, h, w, c = x.shape
+            x = x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+        elif kind == "up":
+            b, h, w, c = x.shape
+            x = jax.image.resize(x, (b, h * 2, w * 2, c), "bilinear")
+        elif kind == "skip":
+            x = jnp.concatenate([_run_ops(p, op[1], f"{path}.main", x, cond), x], axis=-1)
+        else:  # pragma: no cover
+            raise ValueError(f"unknown op {op}")
+    return x
+
+
+class VDiffUpstream:
+    """Callable upstream model; ``apply(params, x, t, clip_embed)`` mirrors the
+    flax Module surface the drawer uses.  x: (B, H, W, 3) NHWC; t: (B,)."""
+
+    def __init__(self, spec: UpstreamSpec):
+        self.spec = spec
+
+    def apply(self, params, x, t, clip_embed=None):
+        spec = self.spec
+        t = jnp.atleast_1d(t).astype(x.dtype).reshape(-1, 1)  # (B, 1)
+        if t.shape[0] != x.shape[0]:
+            t = jnp.broadcast_to(t, (x.shape[0], 1))
+        cond = None
+        if spec.conv_kind == "modconv":
+            if clip_embed is None:
+                clip_embed = jnp.zeros((x.shape[0], spec.clip_embed_dim), x.dtype)
+            clip_embed = jnp.atleast_2d(clip_embed).astype(x.dtype)
+            if clip_embed.shape[0] != x.shape[0]:
+                clip_embed = jnp.broadcast_to(clip_embed, (x.shape[0], spec.clip_embed_dim))
+            # upstream: F.normalize(clip_embed) * sqrt(dim)
+            norm = jnp.linalg.norm(clip_embed, axis=-1, keepdims=True)
+            ce = clip_embed / jnp.maximum(norm, 1e-12) * math.sqrt(spec.clip_embed_dim)
+            mt = _fourier(t, params["mapping_timestep_embed.weight"])
+            m_in = jnp.concatenate([ce, mt], axis=-1)
+            cond = self._mapping(params, m_in)
+        te = _fourier(t, params["timestep_embed.weight"])  # (B, input_ff)
+        planes = jnp.broadcast_to(
+            te[:, None, None, :], (x.shape[0], x.shape[1], x.shape[2], te.shape[-1])
+        )
+        h = jnp.concatenate([x, planes.astype(x.dtype)], axis=-1)
+        return _run_ops(params, self.spec.net, "net", h, cond)
+
+    @staticmethod
+    def _mapping(p, x):
+        """Two ResLinearBlocks (second is_last)."""
+        def res_linear(x, base, is_last, has_skip):
+            skip = x if not has_skip else x @ p[f"{base}.skip.weight"].astype(x.dtype)
+            h = x @ p[f"{base}.main.0.weight"].astype(x.dtype) + p[f"{base}.main.0.bias"].astype(x.dtype)
+            h = jax.nn.relu(h)
+            h = h @ p[f"{base}.main.2.weight"].astype(x.dtype) + p[f"{base}.main.2.bias"].astype(x.dtype)
+            if not is_last:
+                h = jax.nn.relu(h)
+            return h + skip
+
+        x = res_linear(x, "mapping.0", False, True)
+        return res_linear(x, "mapping.1", True, False)

@@ -74,6 +74,15 @@ class TestDrawerEngineIntegration:
         # post_step re-noise happened at it=1 → fresh optimizer with schedule LR
         assert 0 < engine.drawer.learning_rate <= 0.01
 
+    def test_vdiff_upstream_tiny(self, tmp_path):
+        # tiny upstream-architecture spec (models/vdiff_upstream.py): the same
+        # executor+layer-map a real .pth converts onto, engine end-to-end
+        engine = run_short(
+            tmp_path, drawer="vdiff", vdiff_model="tiny_up", size=[48, 32],
+            init_noise=None, iterations=4,
+        )
+        assert 0 < engine.drawer.learning_rate <= 0.01
+
     def test_super_resolution_engine(self, tmp_path, monkeypatch):
         import jax
         import jax.numpy as jnp

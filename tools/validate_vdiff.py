@@ -2,10 +2,11 @@
 
 The reference consumes the pixray fork of v-diffusion-pytorch through a 3-call
 sampler API (/root/reference/vdiff.py:117-160); the submodule itself is not
-vendored, so our UNet family (models/vdiff.py) is reconstructed from the call
-sites and the published v-objective math.  Trained-weight conversion therefore
-CANNOT be validated offline — this tool closes the loop the moment a checkpoint
-is obtainable:
+vendored.  models/vdiff_upstream.py re-implements the PUBLISHED upstream module
+tree (spec-driven, golden-tested vs a torch mirror at tiny scale in
+tests/test_vdiff_golden.py) and ships a ready converter
+(convert_vdiff_state_dict).  This tool closes the remaining loop — real-weight
+fidelity — the moment a checkpoint is obtainable:
 
 1. loads ``models/<name>.pth`` (torch state dict),
 2. reconstructs the upstream module tree from the state-dict key nesting
@@ -83,21 +84,30 @@ def main():
     sd = sd.get("state_dict", sd)
     sd = {k: v for k, v in sd.items() if hasattr(v, "shape")}
 
-    import jax.numpy as jnp
-
-    from pixray_tpu.models.vdiff import load_vdiff_model
-
     os.environ["PIXRAY_TPU_NO_DOWNLOAD"] = "1"
-    model, variables, cfg = load_vdiff_model(args.model)
-    import jax
+    from pixray_tpu.models.vdiff_upstream import (
+        UPSTREAM_SPECS,
+        convert_vdiff_state_dict,
+        expected_state_shapes,
+    )
 
-    ours = [
-        tuple(x.shape) for x in jax.tree_util.tree_leaves(variables["params"])
-    ]
-    theirs = [tuple(v.shape) for v in sd.values()]
+    spec = UPSTREAM_SPECS[args.model]
+    expected = expected_state_shapes(spec)
+    got = {k: tuple(v.shape) for k, v in sd.items()}
 
-    ours_sig = shape_signature(ours)
-    theirs_sig = shape_signature(theirs)
+    # exact KEY-level diff against the spec signature — names AND shapes
+    missing = {k: list(v) for k, v in expected.items() if k not in got}
+    extra = {k: list(v) for k, v in got.items() if k not in expected}
+    mismatched = {
+        k: {"checkpoint": list(got[k]), "spec": list(expected[k])}
+        for k in expected
+        if k in got and got[k] != expected[k]
+    }
+    key_map_matches = not missing and not extra and not mismatched
+
+    # order-independent shape-multiset fingerprint (coarser, survives renames)
+    ours_sig = shape_signature(expected.values())
+    theirs_sig = shape_signature(got.values())
     only_theirs = {
         str(k): v - ours_sig.get(k, 0)
         for k, v in theirs_sig.items()
@@ -109,13 +119,26 @@ def main():
         if v > theirs_sig.get(k, 0)
     }
 
+    conversion_ok = False
+    if key_map_matches:
+        try:
+            convert_vdiff_state_dict({k: np.asarray(v) for k, v in sd.items()}, spec)
+            conversion_ok = True
+        except Exception as e:  # pragma: no cover - depends on asset
+            print(f"conversion failed: {e}")
+
     report = {
         "model": args.model,
         "checkpoint": ckpt,
-        "upstream_params": int(sum(int(np.prod(s)) for s in theirs)),
-        "ours_params": int(sum(int(np.prod(s)) for s in ours)),
-        "upstream_tensors": len(theirs),
-        "ours_tensors": len(ours),
+        "upstream_params": int(sum(int(np.prod(s)) for s in got.values())),
+        "ours_params": int(sum(int(np.prod(s)) for s in expected.values())),
+        "upstream_tensors": len(got),
+        "ours_tensors": len(expected),
+        "missing_keys": missing,
+        "extra_keys": extra,
+        "mismatched_shapes": mismatched,
+        "key_map_matches": key_map_matches,
+        "conversion_ok": conversion_ok,
         "shapes_only_upstream": only_theirs,
         "shapes_only_ours": only_ours,
         "layer_map_matches": not only_theirs and not only_ours,
@@ -128,7 +151,9 @@ def main():
         f"{report['upstream_params']/1e6:.1f}M params;  ours: "
         f"{report['ours_tensors']} tensors / {report['ours_params']/1e6:.1f}M params"
     )
-    print(f"layer map matches: {report['layer_map_matches']}")
+    print(f"key map matches: {report['key_map_matches']}; "
+          f"conversion ok: {report['conversion_ok']}; "
+          f"shape fingerprint matches: {report['layer_map_matches']}")
     print(f"audit -> {args.report}")
 
 

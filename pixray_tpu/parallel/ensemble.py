@@ -16,12 +16,20 @@ loss contributions are computed as local sums over the device's cutout chunk and
 ``psum``-reduced over both axes; the backward pass transposes through the same
 switch, so each group also only runs its own tower's backward.
 
-``check_vma=False``: jax's varying-mesh-axes type system types the output of a
-switch on ``axis_index`` as INvarying over 'model' (the predicate's variance is
-not propagated), which both rejects the psum and — worse — mis-transposes the
-switch so every group runs member 0's backward.  With the checker disabled the
-per-device semantics are exact; tests/test_ensemble.py verifies value AND
-gradient against the sequential path on an 8-device CPU mesh.
+Transpose-safe member selection: jax's varying-mesh-axes type system types the
+output of a switch on ``axis_index`` as INvarying over 'model' (the predicate's
+variance is not propagated), which both rejects the downstream psum and — worse
+— mis-transposes the switch so every group runs member 0's backward.  Instead
+of disabling the checker, ``switch_placed`` wraps the switch in a custom_vjp
+that (a) pcasts the output to varying over 'model' inside the custom_vjp (so
+the pcast's double-counting transpose never runs), and (b) re-switches on
+``axis_index`` in the backward, each branch running its own member's vjp, then
+psums the cotangent across the model axis so it is genuinely invarying — the
+exact transpose of "replicated operand, per-group branch".  The backward
+recomputes the selected member's forward (custom_vjp residuals are the inputs);
+that one extra tower forward is the price of a correct, checker-clean
+transpose.  tests/test_ensemble.py verifies value AND gradient against the
+sequential path on an 8-device CPU mesh.
 
 With P members and M groups, members are assigned round-robin (member p → group
 p % M) in ceil(P/M) rounds; per-device FLOPs drop from P towers to ceil(P/M).
@@ -39,6 +47,62 @@ import numpy as np
 
 from pixray_tpu.ops.grad import l2_normalize, replace_grad
 from pixray_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def switch_placed(branches, axis_name, args):
+    """``lax.switch`` on a mesh-varying index with a transpose-safe custom VJP.
+
+    ``args`` = (idx, operand); every branch takes ``operand``.  The output is
+    pcast to varying over ``axis_name`` INSIDE the custom_vjp, so the checker
+    accepts downstream psums while the pcast's own (double-counting) transpose
+    is never invoked.  Gradients flow only through ``operand`` — values the
+    branches close over are constants to the backward pass.
+    """
+    idx, operand = args
+    out = jax.lax.switch(idx, list(branches), operand)
+    return jax.tree_util.tree_map(
+        lambda t: jax.lax.pcast(t, axis_name, to="varying"), out
+    )
+
+
+def _switch_placed_fwd(branches, axis_name, args):
+    return switch_placed(branches, axis_name, args), args
+
+
+def _switch_placed_bwd(branches, axis_name, res, g):
+    idx, operand = res
+    # CONTRACT: callers must consume the switch output in a way that makes its
+    # cotangent UNIFORM across `axis_name` (e.g. each branch writes its own
+    # statically-indexed rows of a full-size output that is then psum-reduced)
+    # — then pmean is a value-preserving downcast from varying to invarying,
+    # which the inner vjp's types require.  A downstream op that selects
+    # per-group rows with a mesh-varying index would make g per-group distinct
+    # and this pmean would silently average the groups' cotangents.
+    g = jax.tree_util.tree_map(lambda t: jax.lax.pmean(t, axis_name), g)
+
+    def branch_vjp(f):
+        def run(op):
+            _, vjp = jax.vjp(f, op)
+            return vjp(g)[0]
+        return run
+
+    d_op = jax.lax.switch(idx, [branch_vjp(f) for f in branches], operand)
+
+    # each group computed only its own member's cotangent; the sum across the
+    # model axis is the true cotangent of the replicated operand (and is
+    # genuinely invarying, which the shard_map transpose demands).  Integer
+    # operand leaves carry float0 cotangents — no reduction applies.
+    def _reduce(t):
+        if t.dtype == jax.dtypes.float0:
+            return t
+        return jax.lax.psum(jax.lax.pcast(t, axis_name, to="varying"), axis_name)
+
+    d_op = jax.tree_util.tree_map(_reduce, d_op)
+    return ((np.zeros(idx.shape, jax.dtypes.float0), d_op),)
+
+
+switch_placed.defvjp(_switch_placed_fwd, _switch_placed_bwd)
 
 
 def ensemble_active(mesh, n_perceptors: int, has_image_prompts: bool = False) -> bool:
@@ -158,43 +222,53 @@ def ensemble_scores(
         m_idx = jax.lax.axis_index(MODEL_AXIS)
         d_idx = jax.lax.axis_index(DATA_AXIS)
 
-        def zero_branch(_):
-            return tuple(jnp.zeros((l_max[k],), jnp.float32) for k in kinds)
+        # every traced value a branch uses MUST ride in the operand: branches
+        # are re-invoked inside switch_placed's backward trace, where values
+        # closed over from this trace would be leaked tracers.  Each branch
+        # returns FULL (P, Lmax) row matrices with only its member's row (a
+        # static index) written: the downstream consumption is then a plain
+        # sum+psum, so the switch output's cotangent is uniform across the
+        # model axis — the contract switch_placed's backward requires.
+        def zero_branch(op):
+            return tuple(
+                jax.lax.pcast(
+                    jnp.zeros((P, l_max[k]), jnp.float32), DATA_AXIS, to="varying"
+                )
+                for k in kinds
+            )
 
         def member_branch(p):
-            def fn(_):
+            def fn(op):
+                di, bts, tbls, vrs = op
                 vals = []
                 emb_cache: dict[int, Any] = {}  # slot -> embeddings, encode once
 
                 def get_emb(slot):
                     if slot not in emb_cache:
                         local = jax.lax.dynamic_slice_in_dim(
-                            batches[slot], d_idx * chunk, chunk, 0
+                            bts[slot], di * chunk, chunk, 0
                         )
-                        emb_cache[slot] = members[p].image_fn(variables[p], local)
+                        emb_cache[slot] = members[p].image_fn(vrs[p], local)
                     return emb_cache[slot]
 
                 for k in kinds:
                     emb = get_emb(kind_to_slot[k][p])
-                    e, w, s = tables[k]
-                    vals.append(_partial_prompt_losses(emb, e[p], w[p], s[p], n_total))
+                    e, w, s = tbls[k]
+                    row = _partial_prompt_losses(emb, e[p], w[p], s[p], n_total)
+                    vals.append(jnp.zeros((P, l_max[k]), jnp.float32).at[p].set(row))
                 return tuple(vals)
             return fn
 
+        operand = (d_idx, batches, tables, variables)
         acc_vals = {k: jnp.zeros((P, l_max[k]), jnp.float32) for k in kinds}
         for r in range(rounds):
-            branches = [
+            branches = tuple(
                 member_branch(r * M + m) if r * M + m < P else zero_branch
                 for m in range(M)
-            ]
-            vals = jax.lax.switch(m_idx, branches, None)
-            member = r * M + m_idx
+            )
+            vals = switch_placed(branches, MODEL_AXIS, (m_idx, operand))
             for i, k in enumerate(kinds):
-                row = jnp.zeros((P, l_max[k]), jnp.float32)
-                row = jax.lax.dynamic_update_slice_in_dim(
-                    row, vals[i][None, :], jnp.minimum(member, P - 1), 0
-                )
-                acc_vals[k] = acc_vals[k] + row
+                acc_vals[k] = acc_vals[k] + vals[i]
 
         return {k: jax.lax.psum(v, (DATA_AXIS, MODEL_AXIS)) for k, v in acc_vals.items()}
 
@@ -205,7 +279,6 @@ def ensemble_scores(
         mesh=mesh,
         in_specs=(Pspec(), Pspec(), Pspec()),
         out_specs={k: Pspec() for k in kinds},
-        check_vma=False,
     )(scored)
     out_vals = mapped(batches_in, tables_dev, tuple(variables_list))
 

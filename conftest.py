@@ -24,3 +24,12 @@ try:
     jax.config.update("jax_default_device", _cpu_devices[0])
 except RuntimeError:  # pragma: no cover
     pass
+
+# CPU executables serialize fine (unlike the axon TPU relay), so the persistent
+# compilation cache turns repeat local runs of the compile-dominated fast tier
+# from minutes into seconds.  Fresh CI machines simply miss the cache.
+_cache_dir = os.environ.get("PIXRAY_TPU_TEST_CACHE", "/tmp/pixray_tpu_jax_cache")
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

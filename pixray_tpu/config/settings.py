@@ -136,7 +136,7 @@ def setup_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     a("--output", type=str, help="Output filename", default="output.png", dest="output")
     a("--outdir", type=str, help="Output file directory", default="outputs/%DATE%_%SEQ%", dest="outdir")
     # --- TPU-native additions ---
-    a("--mesh_shape", type=str, help="device mesh, e.g. '8' or '4,2' (data,model); 'auto' uses all devices", default="auto", dest="mesh_shape")
+    a("--mesh_shape", type=str, help="device mesh, e.g. '8' or '4,2' (data,model); 'auto' uses all devices; 'hosts' = (process_count, devices_per_process) for multi-host DCN runs", default="auto", dest="mesh_shape")
     a("--shard_cutouts", type=str2bool, help="shard the cutout batch across the mesh", default=True, dest="shard_cutouts")
     a("--precision", type=str, help="perceptor compute precision: bf16 or fp32", default="bf16", dest="precision")
     a("--checkpoint_every", type=str, help="save a resumable session checkpoint every N iterations (0=off)", default=0, dest="checkpoint_every")

@@ -116,11 +116,16 @@ class Engine:
         dtype = jnp.bfloat16 if getattr(args, "precision", "bf16") == "bf16" else jnp.float32
 
         # ---- device mesh (new capability; SURVEY.md §2.3)
-        from pixray_tpu.parallel.mesh import build_mesh, pad_cuts_for_mesh
+        from pixray_tpu.parallel.mesh import build_mesh, init_distributed, pad_cuts_for_mesh
 
         self.mesh = None
         if getattr(args, "shard_cutouts", True):
             try:
+                if init_distributed():  # multi-host (DCN) cluster, if configured
+                    print(
+                        f"Joined JAX cluster: process {jax.process_index()}/"
+                        f"{jax.process_count()}, {jax.device_count()} global devices"
+                    )
                 self.mesh = build_mesh(getattr(args, "mesh_shape", "auto"))
             except Exception as e:
                 print(f"mesh setup skipped: {e}")

@@ -84,6 +84,11 @@ def _whitespace_clean(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
 
 
+BPE_VOCAB_URL = (
+    "https://github.com/openai/CLIP/raw/main/clip/bpe_simple_vocab_16e6.txt.gz"
+)
+
+
 def find_bpe_vocab():
     candidates = [
         os.environ.get("PIXRAY_TPU_BPE"),
@@ -94,7 +99,22 @@ def find_bpe_vocab():
     for c in candidates:
         if c and os.path.exists(c):
             return c
+    # not on disk: fetch the redistributable ~1.3 MB asset (the same file the
+    # reference gets via its `clip` pip dependency, /root/reference/slip.py:77-82);
+    # one attempt per process — offline runs shouldn't re-pay retry backoffs
+    global _fetch_attempted
+    if _fetch_attempted:
+        return None
+    _fetch_attempted = True
+    from pixray_tpu.utils.download import wget_file
+
+    target = candidates[-1]
+    if wget_file(BPE_VOCAB_URL, target):
+        return target
     return None
+
+
+_fetch_attempted = False
 
 
 class SimpleTokenizer:

@@ -275,6 +275,20 @@ def _band_for(h: int, band: int) -> int:
     return band if (band and h >= band + 16) else 0
 
 
+def _compiler_params():
+    """Optional Mosaic grid-semantics override (P0 NaN debugging knob).
+
+    PIXRAY_TPU_WARP_SERIAL=1 forces both grid dimensions to ARBITRARY
+    (strictly sequential execution, no cross-step parallelism) — used to test
+    whether the TPU backward miscompile is a grid-parallelization artifact.
+    Read at call time so experiments can flip it per configuration."""
+    if os.environ.get("PIXRAY_TPU_WARP_SERIAL", "0") == "1":
+        return pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        )
+    return None
+
+
 def _run_fwd(work, inv_matrices, out_size, padding_mode, interpret, k_tile, prec, band):
     n = inv_matrices.shape[0]
     h, w, c = work.shape
@@ -295,6 +309,7 @@ def _run_fwd(work, inv_matrices, out_size, padding_mode, interpret, k_tile, prec
         out_specs=pl.BlockSpec((1, c, k_tile), lambda i, t: (i, 0, t), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, c, k_tiles * k_tile), jnp.float32),
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(inv_matrices, work_cm)
     return (
         out[:, :, :k].transpose(0, 2, 1).reshape(n, out_size, out_size, c).astype(work.dtype)
@@ -325,6 +340,7 @@ def _run_bwd(g, inv_matrices, work_shape, out_size, padding_mode, interpret,
         out_specs=pl.BlockSpec((c, h, w), lambda i, t: (0, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, h, w), jnp.float32),
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(inv_matrices, g_flat)
     return dwork.transpose(1, 2, 0)
 
@@ -531,6 +547,7 @@ def _run_fwd_multi(work, inv, modes, out_size, interpret, k_tile, prec, n_chunk,
         out_specs=pl.BlockSpec((n_chunk, c, k_tile), lambda i, t: (i, 0, t), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_blocks * n_chunk, c, k_tiles * k_tile), jnp.float32),
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(aug, work_cm)
     return (
         out[:n, :, :k].transpose(0, 2, 1).reshape(n, out_size, out_size, c).astype(work.dtype)
@@ -567,6 +584,7 @@ def _run_bwd_multi(g, inv, modes, work_shape, out_size, interpret, k_tile, prec,
         out_specs=pl.BlockSpec((c, h, w), lambda i, t: (0, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, h, w), jnp.float32),
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(aug, g_flat)
     return dwork.transpose(1, 2, 0)
 

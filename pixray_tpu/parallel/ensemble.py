@@ -46,7 +46,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pixray_tpu.ops.grad import l2_normalize, replace_grad
-from pixray_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from pixray_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, host_local
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
@@ -140,9 +140,10 @@ def pad_table(table, l_max: int, d_max: int):
     s = np.full((l_max,), -np.inf, np.float32)
     n, d = int(table.embeds.shape[0]), int(table.embeds.shape[1])
     if n:
-        e[:n, :d] = np.asarray(table.embeds, np.float32)
-        w[:n] = np.asarray(table.weights, np.float32)
-        s[:n] = np.asarray(table.stops, np.float32)
+        # host_local: table arrays may be replicated over a multi-process mesh
+        e[:n, :d] = host_local(table.embeds).astype(np.float32)
+        w[:n] = host_local(table.weights).astype(np.float32)
+        s[:n] = host_local(table.stops).astype(np.float32)
     return e, w, s
 
 

@@ -10,14 +10,21 @@ SURVEY.md §2.3) — this layer is new capability.  Parallel axes of this worklo
   replicated latent.  Collectives ride ICI; no NCCL-style code exists anywhere.
 - **model**: reserved for perceptor-ensemble placement (one ensemble member per
   device group) and future tensor-parallel towers.
-- hosts: frame rings / seed sweeps parallelize trivially across processes (each
-  engine instance is self-contained).
+- **hosts (DCN)**: multi-process meshes put the host dimension on the OUTER
+  (data) axis: only the per-shard latent-gradient psum crosses DCN — one
+  (z-sized) all-reduce per step — while the model axis (ensemble placement /
+  FSDP gathers, the chatty collectives) stays inside a host's ICI domain.
+  ``init_distributed`` wires ``jax.distributed.initialize``; frame rings / seed
+  sweeps additionally parallelize trivially across independent engines.
 
-Meshes are built from the ``--mesh_shape`` setting: 'auto' = all local devices on
-the data axis; 'D' or 'D,M' = explicit axis sizes.
+Meshes are built from the ``--mesh_shape`` setting: 'auto' = all (global)
+devices on the data axis; 'D' or 'D,M' = explicit axis sizes; 'hosts' =
+(process_count, devices_per_process) — the canonical DCN×ICI layout.
 """
 
 from __future__ import annotations
+
+import os
 
 import jax
 import numpy as np
@@ -27,12 +34,64 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def init_distributed(
+    coordinator: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Join a multi-host JAX cluster (no-op when not configured).
+
+    Args fall back to $PIXRAY_TPU_COORDINATOR / $PIXRAY_TPU_NUM_PROCESSES /
+    $PIXRAY_TPU_PROCESS_ID, and from there to jax.distributed's own
+    auto-detection (TPU pod metadata, SLURM, ...).  Returns True when the
+    process is part of a >1-process cluster afterwards.  After this,
+    ``jax.devices()`` is GLOBAL and ``build_mesh`` spans all hosts; collectives
+    across the host boundary ride DCN.
+    """
+    coordinator = coordinator or os.environ.get("PIXRAY_TPU_COORDINATOR")
+    num_processes = num_processes if num_processes is not None else (
+        int(os.environ["PIXRAY_TPU_NUM_PROCESSES"])
+        if "PIXRAY_TPU_NUM_PROCESSES" in os.environ else None
+    )
+    process_id = process_id if process_id is not None else (
+        int(os.environ["PIXRAY_TPU_PROCESS_ID"])
+        if "PIXRAY_TPU_PROCESS_ID" in os.environ else None
+    )
+    if jax.distributed.is_initialized():
+        return True  # already joined (idempotent under engine re-init)
+    if coordinator is None and num_processes is None:
+        return False  # single-process run, nothing to join
+    kwargs = {}
+    if coordinator is not None:
+        kwargs["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    return jax.distributed.is_initialized()
+
+
 def build_mesh(mesh_shape: str = "auto", devices=None) -> Mesh | None:
-    """Create a (data, model) mesh; None when only one device is available."""
+    """Create a (data, model) mesh; None when only one device is available.
+
+    Multi-process: ``jax.devices()`` is the global device list, ordered by
+    process index — the plain reshape therefore places whole hosts contiguously
+    along the leading (data) axis, so the model axis only spans devices within
+    a host whenever the model-axis size divides the per-host device count (the
+    DCN-for-DP / ICI-for-model layout).  'hosts' selects exactly
+    (process_count, devices_per_process).
+    """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if mesh_shape in (None, "", "auto"):
         dims = (n, 1)
+    elif mesh_shape == "hosts":
+        # derive the host count from the devices themselves (not
+        # jax.process_count(), which reports the DEFAULT backend's processes —
+        # wrong when an accelerator plugin coexists with a distributed CPU mesh)
+        procs = len({d.process_index for d in devices})
+        dims = (procs, n // procs)
     else:
         parts = [int(p) for p in str(mesh_shape).split(",")]
         dims = (parts[0], parts[1] if len(parts) > 1 else 1)
@@ -42,6 +101,23 @@ def build_mesh(mesh_shape: str = "auto", devices=None) -> Mesh | None:
         return None
     grid = np.asarray(devices[: dims[0] * dims[1]]).reshape(dims)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def host_local(x) -> np.ndarray:
+    """Fetch a REPLICATED array's value on this host.
+
+    Multi-process global arrays span non-addressable devices, so ``np.asarray``
+    raises even when every device holds the full value; the local shard of a
+    replicated array IS the global value.  Single-process arrays pass through.
+    """
+    try:
+        return np.asarray(x)
+    except RuntimeError:
+        shard = x.addressable_shards[0]
+        assert shard.data.shape == x.shape, (
+            f"expected a replicated array, got shard {shard.data.shape} of {x.shape}"
+        )
+        return np.asarray(shard.data)
 
 
 def shard_cutout_batch(batch, mesh: Mesh | None):

@@ -80,8 +80,13 @@ def _tables(rng, percs, sizes):
 
 class TestEnsembleScores:
     def test_matches_sequential_value_and_grad(self):
-        """2 heterogeneous members on a (4,2) mesh == sequential per-member scoring."""
-        mesh = _mesh(4, 2)
+        """2 heterogeneous members on a (2,2) mesh == sequential per-member scoring.
+
+        This is the every-push canary for the switch_placed custom_vjp transpose
+        (VERDICT r2 #7) — it must stay in the FAST tier.  (2,2) rather than
+        (4,2): the data-axis chunk slicing is exercised identically at D=2 and
+        the smaller mesh halves the compile time on the 1-core CI box."""
+        mesh = _mesh(2, 2)
         percs, members = _members(["TinyTest", "TinyTest48"])
         rng = np.random.default_rng(0)
         n = 8
@@ -107,8 +112,12 @@ class TestEnsembleScores:
         for a, b in zip(g_p, g_s):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-6)
 
+    @pytest.mark.slow
     def test_padded_rows_are_inert(self):
-        """Members with different table sizes and embed dims: padded entries are 0."""
+        """Members with different table sizes and embed dims: padded entries are 0.
+
+        slow tier: a distinct member/table geometry = a second ~15 s shard_map
+        compile; the fast-tier canary above already exercises the placed path."""
         mesh = _mesh(2, 2)
         percs, members = _members(["TinyTest", "TinyTestDim48"])  # dims 32 vs 48
         rng = np.random.default_rng(1)
@@ -131,8 +140,11 @@ class TestEnsembleScores:
         assert iii.shape == (n, 48)
         np.testing.assert_allclose(np.asarray(iii), ref_iii, rtol=2e-5, atol=1e-6)
 
+    @pytest.mark.slow
     def test_three_members_two_groups_round_robin(self):
-        """P=3 members on M=2 groups: the second round places member 2 correctly."""
+        """P=3 members on M=2 groups: the second round places member 2 correctly.
+
+        slow tier: see test_padded_rows_are_inert."""
         mesh = _mesh(2, 2)
         percs, members = _members(["TinyTest", "TinyTest48", "TinyTestDim48"])
         rng = np.random.default_rng(2)
@@ -161,7 +173,11 @@ class TestEnsembleActive:
 
 
 class TestEnsembleStepPath:
+    @pytest.mark.slow
     def test_loss_fn_ensemble_matches_sequential_path(self):
+        # slow tier: compiles the FULL step loss twice (placed + auto-sharded)
+        # on a mesh — ~5 min of XLA CPU compile on the 1-core box; the fast-tier
+        # canary for the placed path is TestEnsembleScores above
         """build_loss_fn with ensemble placement == the auto-sharded loop,
         including spot/spot_off tables, value AND dz gradient."""
         from pixray_tpu.config import apply_settings

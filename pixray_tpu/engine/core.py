@@ -293,11 +293,7 @@ class Engine:
             )
         from pixray_tpu.parallel.ensemble import ensemble_active
 
-        use_ensemble = ensemble_active(
-            self.mesh,
-            len(self.perceptors),
-            has_image_prompts=any(v is not None for v in image_prompt_arrays.values()),
-        )
+        use_ensemble = ensemble_active(self.mesh, len(self.perceptors))
         if use_ensemble:
             m = dict(self.mesh.shape)["model"]
             print(

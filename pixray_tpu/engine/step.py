@@ -148,6 +148,20 @@ def build_loss_fn(cfg: StepConfig, names_sink: list | None = None):
                 "spot": [s.spot_table for s in cfg.perceptors],
                 "spot_off": [s.spot_off_table for s in cfg.perceptors],
             }
+            # image prompts run INSIDE the placed program as pair jobs — one
+            # kind per prompt index (or one 'frame' kind under animation),
+            # pairing the member's main embeddings with the prompt-image batch
+            anim_mode = cfg.args is not None and getattr(cfg.args, "animation_dir", None)
+            n_imgp_max = max(
+                (s.image_prompts.shape[0] for s in cfg.perceptors
+                 if s.image_prompts is not None),
+                default=0,
+            )
+            pair_names = (
+                ["image_prompt_frame"] if (anim_mode and n_imgp_max)
+                else [f"image_prompt{k}" for k in range(n_imgp_max)]
+            )
+            pair_jobs = {name: ([], []) for name in pair_names}
             for spec, pk in zip(cfg.perceptors, p_keys):
                 k_t, k_jit, k_noise, k_spot_n, k_spot_off_n, k_img_n = jax.random.split(pk, 6)
                 work = C.pool_to_work(img, spec.cut_size, cfg.aspect)
@@ -178,6 +192,49 @@ def build_loss_fn(cfg: StepConfig, names_sink: list | None = None):
                     if spec.spot_off_table.size
                     else main_p
                 )
+                if pair_names:
+                    n_imgp = (
+                        spec.image_prompts.shape[0]
+                        if spec.image_prompts is not None else 0
+                    )
+                    weight = (
+                        1.0 if spec.image_prompt_weight is None
+                        else spec.image_prompt_weight
+                    )
+                    k_imgs = jax.random.split(k_img_n, max(n_imgp, 1) + 1)
+
+                    def prompt_batch(timg, key_i, shuffle_key):
+                        t = transforms
+                        if cfg.image_prompt_shuffle:
+                            t = C.sample_cut_transforms(
+                                shuffle_key, spec.cut_size, cfg.num_cuts, cfg.aspect
+                            )
+                        p_work = C.pool_to_work(timg, spec.cut_size, cfg.aspect)
+                        return pre(C.render_cutouts(
+                            p_work, t, spec.cut_size,
+                            reflect_padding=reflect_padding, fill_color=fill_color,
+                            noise_key=key_i, compute_dtype=cfg.compute_dtype,
+                        ))
+
+                    for slot, name in enumerate(pair_names):
+                        if n_imgp == 0:
+                            pair_jobs[name][0].append(main_p)  # inert: weight 0
+                            pair_jobs[name][1].append(0.0)
+                        elif anim_mode:
+                            timg = refs["image_prompts"][spec.name][anim_index % n_imgp]
+                            pair_jobs[name][0].append(prompt_batch(
+                                timg, k_imgs[0], jax.random.fold_in(k_imgs[-1], 0)
+                            ))
+                            pair_jobs[name][1].append(weight)
+                        elif slot < n_imgp:
+                            timg = refs["image_prompts"][spec.name][slot]
+                            pair_jobs[name][0].append(prompt_batch(
+                                timg, k_imgs[slot], jax.random.fold_in(k_imgs[-1], slot)
+                            ))
+                            pair_jobs[name][1].append(weight)
+                        else:
+                            pair_jobs[name][0].append(main_p)
+                            pair_jobs[name][1].append(0.0)
 
             members = [
                 EnsembleMember(
@@ -199,6 +256,7 @@ def build_loss_fn(cfg: StepConfig, names_sink: list | None = None):
                 # the embeds global costs one replicated encode — only pay it
                 # when a custom loss can consume it (aesthetic, user plug-ins)
                 want_iii_of=len(cfg.perceptors) - 1 if cfg.custom_losses else None,
+                pair_jobs=pair_jobs,
             )
             for pi, spec in enumerate(cfg.perceptors):
                 for i in range(spec.table.size):
@@ -210,6 +268,14 @@ def build_loss_fn(cfg: StepConfig, names_sink: list | None = None):
                     add(f"{spec.name}:spot{i}", out_vals["spot"][pi, i])
                 for i in range(spec.spot_off_table.size):
                     add(f"{spec.name}:spot_off{i}", out_vals["spot_off"][pi, i])
+                # same per-spec term order as the sequential path below
+                n_imgp = (
+                    spec.image_prompts.shape[0]
+                    if spec.image_prompts is not None else 0
+                )
+                for slot, name in enumerate(pair_names):
+                    if name in out_vals and (slot < n_imgp or anim_mode) and n_imgp:
+                        add(f"{spec.name}:{name}", out_vals[name][pi, 0])
 
         for spec, pk in [] if cfg.ensemble else list(zip(cfg.perceptors, p_keys)):
             k_t, k_jit, k_noise, k_spot_n, k_spot_off_n, k_img_n = jax.random.split(pk, 6)

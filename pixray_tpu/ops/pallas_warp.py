@@ -599,10 +599,54 @@ def _pallas_warp_modes_fwd(work, inv, modes, out_size, interpret, k_tile, prec, 
     return out, (jax.lax.stop_gradient(work), inv, modes)
 
 
+def _xla_bwd_modes(g, inv, modes, work_shape, out_size):
+    """XLA reference adjoint of the mixed-mode warp, from INVERSE matrices.
+
+    Same math as warp_batch._warp_gather_modes_bwd (hat-weight matmul scan),
+    used as a P0 bisection arm: unified Pallas forward + this backward isolates
+    whether _bwd_kernel_multi is the miscompiling piece."""
+    h, w, c = work_shape
+    n = inv.shape[0]
+    k = out_size * out_size
+    u_iota = jnp.arange(h, dtype=jnp.float32)
+    v_iota = jnp.arange(w, dtype=jnp.float32)
+    ys, xs = jnp.meshgrid(
+        jnp.arange(out_size, dtype=jnp.float32),
+        jnp.arange(out_size, dtype=jnp.float32),
+        indexing="ij",
+    )
+    dst = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)  # (S, S, 3)
+
+    def one_cutout(dwork, args):
+        m, mode, g_n = args
+        src = jnp.einsum("hwj,kj->hwk", dst, m, precision=jax.lax.Precision.HIGHEST)
+        sx = src[..., 0] / (src[..., 2] + 1e-8)
+        sy = src[..., 1] / (src[..., 2] + 1e-8)
+        sx, sy = _select_padded(sx, sy, mode, h, w)
+        txf = sx.reshape(k)
+        tyf = sy.reshape(k)
+        gf = g_n.reshape(k, c).astype(jnp.float32)
+        a = jnp.maximum(0.0, 1.0 - jnp.abs(tyf[:, None] - u_iota[None, :]))  # (K, H)
+        b = jnp.maximum(0.0, 1.0 - jnp.abs(txf[:, None] - v_iota[None, :]))  # (K, W)
+        ag = jnp.einsum("ku,kc->ukc", a, gf, preferred_element_type=jnp.float32)
+        contrib = jnp.einsum("ukc,kv->uvc", ag, b, preferred_element_type=jnp.float32)
+        return dwork + contrib, None
+
+    dwork0 = jnp.zeros((h, w, c), jnp.float32)
+    g_f = g.reshape(n, out_size, out_size, c).astype(jnp.float32)
+    dwork, _ = jax.lax.scan(
+        one_cutout, dwork0, (inv, modes.astype(jnp.float32), g_f)
+    )
+    return dwork
+
+
 def _pallas_warp_modes_bwd(out_size, interpret, k_tile, prec, n_chunk, band, res, g):
     work_ref, inv, modes = res
-    dwork = _run_bwd_multi(g, inv, modes, work_ref.shape, out_size, interpret,
-                           k_tile, prec, n_chunk, band)
+    if os.environ.get("PIXRAY_TPU_UNIFIED_BWD") == "xla":
+        dwork = _xla_bwd_modes(g, inv, modes, work_ref.shape, out_size)
+    else:
+        dwork = _run_bwd_multi(g, inv, modes, work_ref.shape, out_size, interpret,
+                               k_tile, prec, n_chunk, band)
     return dwork.astype(work_ref.dtype), None, None
 
 

@@ -105,17 +105,17 @@ def _switch_placed_bwd(branches, axis_name, res, g):
 switch_placed.defvjp(_switch_placed_fwd, _switch_placed_bwd)
 
 
-def ensemble_active(mesh, n_perceptors: int, has_image_prompts: bool = False) -> bool:
+def ensemble_active(mesh, n_perceptors: int) -> bool:
     """Single predicate (used by core.py and step.py) for when member-per-group
     placement engages: a model axis >1 and >1 perceptors.  Image-prompt terms
-    need per-member transient embeddings and stay on the auto-sharded path, so
-    their presence disables placement."""
+    run INSIDE the placed program as pair jobs (the prompt-image embeddings are
+    all-gathered over the data axis within the member's branch), so their
+    presence no longer disables placement."""
     return (
         mesh is not None
         and MODEL_AXIS in mesh.shape
         and int(mesh.shape[MODEL_AXIS]) > 1
         and n_perceptors > 1
-        and not has_image_prompts
     )
 
 
@@ -147,6 +147,19 @@ def pad_table(table, l_max: int, d_max: int):
     return e, w, s
 
 
+def _partial_pair_loss(x_local, e_all, weight: float, n_total: int):
+    """Local-chunk contribution to prompts.single_prompt_loss (image prompts):
+    spherical distance over (local-main × ALL-prompt) embedding pairs, divided
+    by the GLOBAL pair count so the data-axis psum reproduces the full mean."""
+    x = l2_normalize(x_local.astype(jnp.float32), axis=-1)
+    e = l2_normalize(e_all.astype(jnp.float32), axis=-1)
+    cos = jnp.clip(x @ e.T, -1.0, 1.0)  # (chunk, N)
+    chord = jnp.sqrt(jnp.maximum(2.0 - 2.0 * cos, 1e-12))
+    dists = jnp.square(jnp.arcsin(chord / 2.0)) * 2.0
+    denom = n_total * e_all.shape[0]
+    return abs(weight) * jnp.sum(dists) * float(np.sign(weight)) / denom
+
+
 def _partial_prompt_losses(emb_local, embeds, weights, stops, n_total: int):
     """Local-chunk contribution to the per-prompt losses: identical math to
     prompts.prompt_losses but summed over the local chunk and divided by the
@@ -169,6 +182,7 @@ def ensemble_scores(
     job_tables: dict[str, list],
     variables_list,
     want_iii_of: int | None = None,
+    pair_jobs: dict[str, tuple[list, list]] | None = None,
 ):
     """Score every (member, job) pair with one ensemble member per model group.
 
@@ -179,18 +193,29 @@ def ensemble_scores(
       members, only its own is read — same memory as the sequential path).
     want_iii_of: member index whose 'main' embeddings (N, D) to return (the
       engine's ``embeds`` global for the aesthetic loss), or None.
+    pair_jobs: {kind: ([per-member batch], [per-member static weight])} —
+      image-prompt terms (reference pixray.py:1308-1336): the member's batch is
+      encoded, all-gathered over the data axis, and paired all-to-all with the
+      member's LOCAL 'main' embeddings (prompts.single_prompt_loss semantics).
+      A member with weight 0.0 skips the encode entirely.
 
-    Returns ({kind: (P, Lmax_kind) padded per-prompt loss values}, iii or None).
+    Returns ({kind: (P, Lmax_kind) padded per-prompt loss values, plus a (P, 1)
+    entry per pair kind}, iii or None).
     """
+    pair_jobs = pair_jobs or {}
     P = len(members)
     M = int(mesh.shape[MODEL_AXIS])
     D = int(mesh.shape[DATA_AXIS])
     kinds = [k for k, tables in job_tables.items() if any(t.size for t in tables)]
+    pair_kinds = [k for k, (_, ws) in pair_jobs.items() if any(w != 0.0 for w in ws)]
+    pair_weights = {k: [float(w) for w in pair_jobs[k][1]] for k in pair_kinds}
     n_total = int(job_batches["main"][0].shape[0])
     assert n_total % D == 0, "cutout count must be padded to the data-axis size"
     chunk = n_total // D
     d_max = max(m.out_dim for m in members)
     l_max = {k: max(t.size for t in job_tables[k]) for k in kinds}
+    l_max.update({k: 1 for k in pair_kinds})
+    out_kinds = kinds + pair_kinds
     rounds = -(-P // M)
 
     # stacked padded tables: {kind: (P, Lmax, d_max) / (P, Lmax) / (P, Lmax)}
@@ -204,11 +229,13 @@ def ensemble_scores(
     # batch is encoded exactly once per member
     unique_batches: list = []
     kind_to_slot: dict[str, list[int]] = {}
+    all_job_batches = dict(job_batches)
+    all_job_batches.update({k: pair_jobs[k][0] for k in pair_kinds})
     # 'main' is always slot-mapped (even when its tables are empty) so the iii
-    # request can encode it
-    for k in dict.fromkeys(["main", *kinds]):
+    # request and pair jobs can encode it
+    for k in dict.fromkeys(["main", *kinds, *pair_kinds]):
         slots = []
-        for b in job_batches[k]:
+        for b in all_job_batches[k]:
             for si, u in enumerate(unique_batches):
                 if u is b:
                     slots.append(si)
@@ -235,7 +262,7 @@ def ensemble_scores(
                 jax.lax.pcast(
                     jnp.zeros((P, l_max[k]), jnp.float32), DATA_AXIS, to="varying"
                 )
-                for k in kinds
+                for k in out_kinds
             )
 
         def member_branch(p):
@@ -257,29 +284,52 @@ def ensemble_scores(
                     e, w, s = tbls[k]
                     row = _partial_prompt_losses(emb, e[p], w[p], s[p], n_total)
                     vals.append(jnp.zeros((P, l_max[k]), jnp.float32).at[p].set(row))
+                for k in pair_kinds:
+                    w = pair_weights[k][p]
+                    if w == 0.0:
+                        vals.append(
+                            jax.lax.pcast(
+                                jnp.zeros((P, 1), jnp.float32), DATA_AXIS, to="varying"
+                            )
+                        )
+                        continue
+                    x_loc = get_emb(kind_to_slot["main"][p])  # (chunk, d)
+                    e_loc = get_emb(kind_to_slot[k][p])  # (chunk, d)
+                    # all-to-all pairing needs cross-chunk pairs: gather the
+                    # prompt-image embeddings (tiny: N×d) over the data axis —
+                    # the one extra collective of the image-prompt term
+                    e_all = jax.lax.all_gather(e_loc, DATA_AXIS, axis=0, tiled=True)
+                    val = _partial_pair_loss(x_loc, e_all, w, n_total)
+                    vals.append(jnp.zeros((P, 1), jnp.float32).at[p, 0].set(val))
                 return tuple(vals)
             return fn
 
         operand = (d_idx, batches, tables, variables)
-        acc_vals = {k: jnp.zeros((P, l_max[k]), jnp.float32) for k in kinds}
+        acc_vals = {k: jnp.zeros((P, l_max[k]), jnp.float32) for k in out_kinds}
         for r in range(rounds):
             branches = tuple(
                 member_branch(r * M + m) if r * M + m < P else zero_branch
                 for m in range(M)
             )
             vals = switch_placed(branches, MODEL_AXIS, (m_idx, operand))
-            for i, k in enumerate(kinds):
+            for i, k in enumerate(out_kinds):
                 acc_vals[k] = acc_vals[k] + vals[i]
 
         return {k: jax.lax.psum(v, (DATA_AXIS, MODEL_AXIS)) for k, v in acc_vals.items()}
 
     from jax.sharding import PartitionSpec as Pspec
 
+    for k in pair_kinds:
+        for b in pair_jobs[k][0]:
+            assert int(b.shape[0]) == n_total, (
+                f"pair job {k}: batch size {b.shape[0]} != main {n_total}"
+            )
+
     mapped = partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(Pspec(), Pspec(), Pspec()),
-        out_specs={k: Pspec() for k in kinds},
+        out_specs={k: Pspec() for k in out_kinds},
     )(scored)
     out_vals = mapped(batches_in, tables_dev, tuple(variables_list))
 

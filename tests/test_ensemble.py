@@ -86,31 +86,47 @@ class TestEnsembleScores:
         (VERDICT r2 #7) — it must stay in the FAST tier.  (2,2) rather than
         (4,2): the data-axis chunk slicing is exercised identically at D=2 and
         the smaller mesh halves the compile time on the 1-core CI box."""
+        from pixray_tpu.engine.prompts import single_prompt_loss
+
         mesh = _mesh(2, 2)
         percs, members = _members(["TinyTest", "TinyTest48"])
         rng = np.random.default_rng(0)
         n = 8
         batches = _batches(rng, percs, n)
+        pair_batches = _batches(rng, percs, n)  # image-prompt cutouts
         tables = _tables(rng, percs, [2, 3])
         variables = [p.variables for p in percs]
+        pair_w = [0.8, -0.6]  # member 1 exercises the negative-weight sign path
 
-        def placed(batches):
+        def placed(batches, pair_batches):
             vals, _ = ensemble_scores(
-                mesh, members, {"main": list(batches)}, {"main": tables}, variables
+                mesh, members, {"main": list(batches)}, {"main": tables}, variables,
+                pair_jobs={"imgp0": (list(pair_batches), pair_w)},
             )
-            return jnp.sum(vals["main"][0, :2]) + jnp.sum(vals["main"][1, :3])
+            return (
+                jnp.sum(vals["main"][0, :2]) + jnp.sum(vals["main"][1, :3])
+                + jnp.sum(vals["imgp0"][:, 0])
+            )
 
-        def sequential(batches):
+        def sequential(batches, pair_batches):
             tot = 0.0
-            for p, b, t in zip(percs, batches, tables):
-                tot = tot + jnp.sum(prompt_losses(p.image_fn(p.variables, b, apply_preprocess=False), t))
+            for p, b, pb, t, w in zip(percs, batches, pair_batches, tables, pair_w):
+                iii = p.image_fn(p.variables, b, apply_preprocess=False)
+                emb = p.image_fn(p.variables, pb, apply_preprocess=False)
+                tot = tot + jnp.sum(prompt_losses(iii, t))
+                tot = tot + single_prompt_loss(iii, emb, w)
             return tot
 
-        v_p, g_p = jax.value_and_grad(placed)(tuple(batches))
-        v_s, g_s = jax.value_and_grad(sequential)(tuple(batches))
+        v_p, g_p = jax.value_and_grad(placed, argnums=(0, 1))(
+            tuple(batches), tuple(pair_batches)
+        )
+        v_s, g_s = jax.value_and_grad(sequential, argnums=(0, 1))(
+            tuple(batches), tuple(pair_batches)
+        )
         np.testing.assert_allclose(float(v_p), float(v_s), rtol=2e-5)
-        for a, b in zip(g_p, g_s):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-6)
+        for ga, gb in zip(g_p, g_s):
+            for a, b in zip(ga, gb):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-6)
 
     @pytest.mark.slow
     def test_padded_rows_are_inert(self):
@@ -169,7 +185,6 @@ class TestEnsembleActive:
         assert not ensemble_active(mesh41, 2)  # no model axis
         assert not ensemble_active(mesh22, 1)  # single perceptor
         assert not ensemble_active(None, 3)
-        assert not ensemble_active(mesh22, 2, has_image_prompts=True)
 
 
 class TestEnsembleStepPath:
@@ -200,6 +215,9 @@ class TestEnsembleStepPath:
 
         percs = [Perceptor(n, dtype=jnp.float32) for n in ["TinyTest", "TinyTest48"]]
         rng = np.random.default_rng(3)
+        # one canvas-sized prompt image per perceptor: the image-prompt term now
+        # runs INSIDE the placed program (pair jobs) and must match sequential
+        imgp = jnp.asarray(rng.random((1, 32, 32, 3)), jnp.float32)
         specs = []
         for p in percs:
             res = p.input_resolution
@@ -220,13 +238,15 @@ class TestEnsembleStepPath:
                     target_table=PromptTable.empty(p.output_dim),
                     spot_keep_on=jnp.ones((res, res)),
                     spot_keep_off=None,
+                    image_prompts=imgp,
+                    image_prompt_weight=0.5,
                 )
             )
 
         refs = {
             "drawer_params": drawer.model_params,
             "perceptors": {p.name: p.variables for p in percs},
-            "image_prompts": {},
+            "image_prompts": {p.name: imgp for p in percs},
             "z_labels": None,
             "z_orig_flat": None,
             "init_image": None,

@@ -36,7 +36,9 @@ REF_BASELINE_STEPS_PER_SEC = 8.0  # documented A100 reference estimate (see abov
 # warmup/timed aligned to the engine's 8-step dispatch blocks (save_every is
 # huge here, so blocks start at iteration 1, 9, 17, …): timing starts exactly at
 # a block boundary with an empty consume buffer and covers whole blocks, so
-# every timed step is computed inside the timed window
+# every timed step is computed inside the timed window.  steps_per_call
+# defaults to 0 (blocked, speculative double-buffered) since round 3 — the
+# published steps/s therefore measure BLOCKED dispatch, the production default.
 WARMUP_STEPS = 9
 TIMED_STEPS = 24
 

@@ -14,7 +14,7 @@ import numpy as np
 import optax
 
 from pixray_tpu.drawers.base import DrawingInterface
-from pixray_tpu.ops.strokes import bezier_basis, render_strokes
+from pixray_tpu.ops.strokes import bezier_basis, render_strokes_auto
 
 MAX_SEGMENTS = 3
 
@@ -97,7 +97,7 @@ class ClipDrawer(DrawingInterface):
 
     def synth(self, model_params, z, iteration, key=None):
         bg = jnp.ones((self.canvas_height, self.canvas_width, 3))
-        out = render_strokes(
+        out = render_strokes_auto(
             z["points"], z["widths"], z["colors"], model_params["basis"],
             self.canvas_height, self.canvas_width, bg,
         )

@@ -15,7 +15,7 @@ import numpy as np
 import optax
 
 from pixray_tpu.drawers.base import DrawingInterface
-from pixray_tpu.ops.strokes import bezier_basis, render_strokes
+from pixray_tpu.ops.strokes import bezier_basis, render_strokes_auto
 from pixray_tpu.utils import str2bool
 
 PAPER_COLOR = (242 / 255.0, 238 / 255.0, 203 / 255.0)
@@ -109,7 +109,7 @@ class LineDrawer(DrawingInterface):
         colors = jnp.broadcast_to(
             jnp.asarray([0.0, 0.0, 0.0, 1.0]), (self.num_paths, 4)
         )
-        out = render_strokes(
+        out = render_strokes_auto(
             z["points"], z["widths"], colors, model_params["basis"],
             self.canvas_height, self.canvas_width, bg,
         )

@@ -14,6 +14,8 @@ chunks (painter order).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -160,3 +162,29 @@ def render_strokes(points, widths, colors, basis, h: int, w: int, background,
     alpha = canvas[..., 3:4]
     rgb = canvas[..., :3] / jnp.maximum(alpha, 1e-6)
     return jnp.concatenate([rgb, alpha], axis=-1)
+
+
+def render_strokes_auto(points, widths, colors, basis, h: int, w: int,
+                        background, chunk: int = 16):
+    """Backend dispatch for stroke rendering: the fused Pallas kernels on TPU
+    (ops/pallas_strokes.py — VMEM-resident distance/composite, bbox-skipped),
+    the XLA scan path on CPU.  Same policy knob as the warp backends:
+    PIXRAY_TPU_PALLAS=0 forces XLA, =1 forces Pallas, default is per-platform."""
+    mode = os.environ.get("PIXRAY_TPU_PALLAS", "auto")
+    if mode == "0":
+        return render_strokes(points, widths, colors, basis, h, w, background,
+                              chunk=chunk)
+    from pixray_tpu.ops.pallas_strokes import render_strokes_fused
+
+    if mode == "1":
+        return render_strokes_fused(points, widths, colors, basis, h, w,
+                                    background)
+    return jax.lax.platform_dependent(
+        points, widths, colors, basis, background,
+        cpu=lambda p, wd, c, ba, bg: render_strokes(
+            p, wd, c, ba, h, w, bg, chunk=chunk
+        ).astype(jnp.float32),
+        default=lambda p, wd, c, ba, bg: render_strokes_fused(
+            p, wd, c, ba, h, w, bg
+        ).astype(jnp.float32),
+    )

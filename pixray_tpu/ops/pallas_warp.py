@@ -642,6 +642,10 @@ def _xla_bwd_modes(g, inv, modes, work_shape, out_size):
 
 def _pallas_warp_modes_bwd(out_size, interpret, k_tile, prec, n_chunk, band, res, g):
     work_ref, inv, modes = res
+    if os.environ.get("PIXRAY_TPU_UNIFIED_BARRIER") == "1":
+        # P0 bisection arm: fence the kernel's operands from XLA's surrounding
+        # fusion/buffer-reuse decisions (suspected full-graph-only miscompile)
+        g, inv, modes = jax.lax.optimization_barrier((g, inv, modes))
     if os.environ.get("PIXRAY_TPU_UNIFIED_BWD") == "xla":
         dwork = _xla_bwd_modes(g, inv, modes, work_ref.shape, out_size)
     else:

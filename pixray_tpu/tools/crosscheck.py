@@ -74,8 +74,46 @@ def main() -> int:
     print(f"[default] mixed-mode bwd max rel diff: {rel:.2e}")
     ok &= rel < 5e-2
 
+    ok &= check_strokes()
+
     print("CROSSCHECK", "PASS" if ok else "FAIL")
     return 0 if ok else 1
+
+
+def check_strokes() -> bool:
+    """Fused Pallas stroke rasterizer vs the XLA scan path (fwd + all grads)."""
+    from pixray_tpu.ops.pallas_strokes import render_strokes_fused
+    from pixray_tpu.ops.strokes import bezier_basis, render_strokes
+
+    rng = np.random.default_rng(1)
+    n, max_seg, h, w = 48, 3, 216, 384
+    basis = bezier_basis(rng.integers(1, max_seg + 1, n), max_seg)
+    v = 1 + 3 * max_seg
+    pts = jnp.asarray(rng.uniform(-10, [w + 10, h + 10], (n, v, 2)), jnp.float32)
+    widths = jnp.asarray(rng.uniform(1.0, 9.0, n), jnp.float32)
+    colors = jnp.asarray(rng.uniform(0, 1, (n, 4)), jnp.float32)
+    bg = jnp.ones((h, w, 3), jnp.float32)
+    probe = jnp.asarray(rng.standard_normal((h, w, 4)), jnp.float32)
+
+    ok = True
+    a = jax.jit(lambda p: render_strokes_fused(p, widths, colors, basis, h, w, bg))(pts)
+    b = jax.jit(lambda p: render_strokes(p, widths, colors, basis, h, w, bg))(pts)
+    diff = float(jnp.abs(a - b).max())
+    print(f"[strokes] fwd maxdiff: {diff:.2e}")
+    ok &= diff < 1e-3
+
+    def loss(render):
+        return lambda p, wd, c: jnp.sum(render(p, wd, c, basis, h, w, bg) * probe)
+
+    ga = jax.jit(jax.grad(loss(
+        lambda *t: render_strokes_fused(*t)), argnums=(0, 1, 2)))(pts, widths, colors)
+    gb = jax.jit(jax.grad(loss(
+        lambda *t: render_strokes(*t)), argnums=(0, 1, 2)))(pts, widths, colors)
+    for name, x, y in zip(["dpoints", "dwidths", "dcolors"], ga, gb):
+        rel = float(jnp.abs(x - y).max() / (jnp.abs(y).max() + 1e-8))
+        print(f"[strokes] {name} max rel diff: {rel:.2e}")
+        ok &= rel < 5e-3
+    return ok
 
 
 if __name__ == "__main__":

@@ -169,7 +169,10 @@ class Perceptor:
         key = jax.random.PRNGKey(stable % (2**31))
         dummy_img = jnp.zeros((1, self.input_resolution, self.input_resolution, 3))
         dummy_tok = jnp.zeros((1, self.config.context_length), dtype=jnp.int32)
-        return self.model.init(key, dummy_img, dummy_tok)
+        # jit the init: flax runs the module forward for shape inference, and
+        # eager op-by-op execution of a full tower is ~10x slower than one
+        # compile on the CPU test runners
+        return jax.jit(self.model.init)(key, dummy_img, dummy_tok)
 
     @staticmethod
     def _require_checkpoint_tokenizer(name):

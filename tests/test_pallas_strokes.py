@@ -26,6 +26,19 @@ def _scene(seed, n, max_seg, h, w, spread=10.0):
 
 
 class TestFusedStrokes:
+    def test_forward_matches_xla_fast(self):
+        """Fast-tier forward canary: remainder tiles on BOTH axes (40 % 32,
+        140 % 128), multiple stroke chunks with padding (9 strokes, chunk 4).
+        The heavier geometries run in the slow tier below."""
+        h, w, n, chunk = 40, 140, 9, 4
+        basis, (pts, widths, colors, bg) = _scene(0, n, 2, h, w)
+        ref = render_strokes(pts, widths, colors, basis, h, w, bg)
+        fus = render_strokes_fused(pts, widths, colors, basis, h, w, bg,
+                                   interpret=True, chunk=chunk)
+        np.testing.assert_allclose(np.asarray(fus), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.slow
     @pytest.mark.parametrize("h,w,n,chunk", [
         (72, 140, 21, 8),   # remainder tiles both axes, padded stroke chunk
         (64, 128, 16, 16),  # exact tiles, single chunk
@@ -39,6 +52,32 @@ class TestFusedStrokes:
         np.testing.assert_allclose(np.asarray(fus), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
 
+    def test_gradients_match_xla_fast(self):
+        """Fast-tier gradient canary at the small remainder-tile geometry."""
+        h, w, n = 40, 140, 9
+        basis, args = _scene(0, n, 2, h, w)
+        probe = None
+
+        def loss(render):
+            def f(p, wd, c, b):
+                out = render(p, wd, c, basis, h, w, b)
+                return jnp.sum(out * probe)
+            return f
+
+        out_shape = (h, w, 4)
+        probe = jnp.cos(jnp.arange(int(np.prod(out_shape))).reshape(out_shape) * 0.01)
+        fused = lambda p, wd, c, ba, hh, ww, b: render_strokes_fused(
+            p, wd, c, ba, hh, ww, b, interpret=True, chunk=4
+        )
+        g_ref = jax.grad(loss(render_strokes), argnums=(0, 1, 2, 3))(*args)
+        g_fus = jax.grad(loss(fused), argnums=(0, 1, 2, 3))(*args)
+        for name, a, b in zip(["points", "widths", "colors", "bg"], g_ref, g_fus):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(np.abs(a).max(), 1e-6)
+            np.testing.assert_allclose(b / scale, a / scale, rtol=2e-4, atol=2e-5,
+                                       err_msg=f"gradient mismatch: {name}")
+
+    @pytest.mark.slow
     def test_gradients_match_xla(self):
         h, w, n = 72, 140, 21
         basis, args = _scene(0, n, 3, h, w)

@@ -242,7 +242,7 @@ class Engine:
         spot_keeps = {}
         if args.spot_prompts or args.spot_prompts_off:
             for p in self.perceptors:
-                wh, ww = C.work_canvas_shape(p.input_resolution, aspect)
+                wh, ww = C.pooled_canvas_shape(p.input_resolution, aspect)
                 mask = IM.load_spot_mask(args.spot_file, p.input_resolution, aspect)
                 mask = np.asarray(
                     Image.fromarray((mask * 255).astype(np.uint8)).resize((ww, wh), Image.LANCZOS),

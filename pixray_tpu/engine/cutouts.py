@@ -91,8 +91,29 @@ NOISE_FAC = 0.1
 ZOOM_FRACTION = 0.6
 
 
+def square_work_enabled() -> bool:
+    """Warp directly from the pooled SQUARE canvas (default).
+
+    The reference re-widens the pooled square back to the canvas aspect before
+    cutting (pixray.py:445-463) — a bilinear UPSAMPLE that adds no information
+    but inflates the warp's hat-matmul contraction from (cut, cut) to
+    (cut, cut*aspect): 1.78x the FLOPs at the 16:9 flagship.  Composing the
+    aspect re-widening into the cutout homographies samples the identical
+    geometry straight from the pooled square (one bilinear resample instead of
+    two — strictly less filtering) and shrinks the profiled per-step bottleneck
+    (warp fwd+bwd) by the aspect ratio.  PIXRAY_TPU_SQUARE_WORK=0 restores the
+    reference-shaped widened canvas for A/B audits.
+    """
+    return os.environ.get("PIXRAY_TPU_SQUARE_WORK", "1") == "1"
+
+
 def work_canvas_shape(cut_size: int, aspect: float) -> tuple[int, int]:
-    """Shape of the pooled working canvas after aspect re-widening."""
+    """Shape of the (virtual) aspect-re-widened working canvas.
+
+    Cutout TRANSFORMS are always sampled in this coordinate space (reference
+    geometry + unchanged PRNG schedule); under square-work the canvas itself
+    stays (cut, cut) and the work→pooled rescale is folded into the matrices.
+    """
     if aspect == 1.0:
         return (cut_size, cut_size)
     if aspect > 1.0:
@@ -100,16 +121,45 @@ def work_canvas_shape(cut_size: int, aspect: float) -> tuple[int, int]:
     return (int(round(cut_size / aspect)), cut_size)
 
 
+def pooled_canvas_shape(cut_size: int, aspect: float) -> tuple[int, int]:
+    """Shape of the canvas render_cutouts actually gathers from."""
+    if square_work_enabled():
+        return (cut_size, cut_size)
+    return work_canvas_shape(cut_size, aspect)
+
+
+def work_from_pooled_matrix(cut_size: int, aspect: float):
+    """(3,3) affine mapping pooled-square coords → virtual work-canvas coords.
+
+    jax.image.resize('bilinear') uses half-pixel centers, so the widened canvas
+    relates to the pooled square by  x_w = (x_p + 0.5) * (ww / pw) - 0.5  per
+    axis; composing a cutout transform m (work→cut) with the INVERSE of this
+    map's inverse — i.e. m @ S with S = pooled→work — yields the pooled→cut
+    matrix whose warp samples the same geometry from the square canvas."""
+    wh, ww = work_canvas_shape(cut_size, aspect)
+    sx = ww / cut_size
+    sy = wh / cut_size
+    return jnp.asarray(
+        [[sx, 0.0, 0.5 * sx - 0.5], [0.0, sy, 0.5 * sy - 0.5], [0.0, 0.0, 1.0]],
+        jnp.float32,
+    )
+
+
 def pool_to_work(image, cut_size: int, aspect: float):
-    """(H, W, C) canvas -> pooled + re-widened working canvas.
+    """(H, W, C) canvas -> pooled working canvas.
 
     Reference pools per cutout with identical (deterministic) results
     (pixray.py:461-463); pooling once is the same computation hoisted out.
+    Under square-work (default) the pooled square IS the working canvas; the
+    reference's aspect re-widening upsample lives in the transform matrices
+    instead (work_from_pooled_matrix).
     """
     pooled = 0.5 * (
         adaptive_avg_pool(image, cut_size, cut_size)
         + adaptive_max_pool(image, cut_size, cut_size)
     )
+    if square_work_enabled():
+        return pooled
     wh, ww = work_canvas_shape(cut_size, aspect)
     if (wh, ww) != (cut_size, cut_size):
         pooled = jax.image.resize(pooled, (wh, ww, pooled.shape[-1]), method="bilinear")
@@ -163,6 +213,13 @@ def sample_cut_transforms(key, cut_size: int, cutn: int, aspect: float):
     kz, kw = jax.random.split(key)
     zoom_ms = jax.vmap(one_zoom)(jax.random.split(kz, n_zoom)) if n_zoom else jnp.zeros((0, 3, 3))
     wide_ms = jax.vmap(one_wide)(jax.random.split(kw, n_wide)) if n_wide else jnp.zeros((0, 3, 3))
+    if square_work_enabled() and aspect != 1.0:
+        # fold the pooled→work rescale into every matrix so the warp gathers
+        # the identical geometry from the SQUARE pooled canvas (no re-widening
+        # upsample; identical PRNG schedule — S is deterministic)
+        s = work_from_pooled_matrix(cut_size, aspect)
+        zoom_ms = jax.vmap(lambda m: W.mm3(m, s))(zoom_ms) if n_zoom else zoom_ms
+        wide_ms = jax.vmap(lambda m: W.mm3(m, s))(wide_ms) if n_wide else wide_ms
     return zoom_ms, wide_ms
 
 

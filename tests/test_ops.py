@@ -128,6 +128,31 @@ class TestCutoutPipeline:
         b2 = render_cutouts(work, t, 32, reflect_padding=True, fill_color=jnp.float32(0.3), noise_key=k_noise)
         np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
 
+    def test_square_work_matches_widened_geometry(self, monkeypatch):
+        """The square-work default samples the SAME cutout geometry as the
+        reference-shaped widened canvas (aspect fold into the matrices): banks
+        agree to bilinear-refiltering tolerance, with the identical PRNG
+        schedule (same transforms, same noise draws)."""
+        from pixray_tpu.engine import cutouts as C
+
+        img = jnp.asarray(np.random.default_rng(0).random((108, 192, 3)), jnp.float32)
+        k_t, k_noise = jax.random.split(jax.random.PRNGKey(3))
+
+        def bank(square):
+            monkeypatch.setenv("PIXRAY_TPU_SQUARE_WORK", "1" if square else "0")
+            work = C.pool_to_work(img, 64, 192 / 108)
+            t = C.sample_cut_transforms(k_t, 64, 8, 192 / 108)
+            b = C.render_cutouts(
+                work, t, 64, reflect_padding=jnp.asarray(True),
+                fill_color=jnp.float32(0.4), noise_key=k_noise,
+            )
+            return np.asarray(b)
+
+        sq, wd = bank(True), bank(False)
+        d = np.abs(sq - wd)
+        assert d.mean() < 0.01, d.mean()
+        assert np.percentile(d, 99) < 0.08, np.percentile(d, 99)
+
 
 class TestSpotMasks:
     def test_default_mask_orientation(self):

@@ -249,13 +249,14 @@ def render_cutouts(
     zoom_ms, wide_ms = transforms
     nz, nw = zoom_ms.shape[0], wide_ms.shape[0]
 
-    if os.environ.get("PIXRAY_TPU_UNIFIED_WARP") == "1":
+    if os.environ.get("PIXRAY_TPU_UNIFIED_WARP", "1") != "0":
         # one mixed-mode bank warp: zoom cuts pad by iteration parity
         # (reflection/border — a traced per-cut mode, not a lax.cond), wide cuts
         # zero-pad and composite over the random gray via closed-form coverage.
-        # KNOWN ISSUE (BUGS.md): the unified kernel's backward miscompiles on
-        # the current TPU backend inside the full engine step (NaN gradients;
-        # finite in isolation and on CPU) — opt-in until resolved.
+        # Default since round 3: the round-2 "miscompile" was an XLA
+        # fusion-context effect on the epilogue, fixed by the barrier below
+        # (BUGS.md, tools/exp7_fwd_banks.py).  PIXRAY_TPU_UNIFIED_WARP=0
+        # restores the per-mode kernels for A/B debugging.
         ms = jnp.concatenate([zoom_ms, wide_ms], axis=0)
         zoom_mode = jnp.where(reflect_padding, 0, 1).astype(jnp.int32)  # 0=refl, 1=border
         modes = jnp.concatenate(
@@ -271,6 +272,17 @@ def render_cutouts(
         batch = warp_batch_modes(
             work, ms, modes, cut_size, fill_value=fill_color, fill_mask=fill_mask
         )
+        # P0 fix (BUGS.md, exp5-7 bisection): pin the bank values at this
+        # boundary.  With the single pallas_call as producer, XLA fuses the
+        # bf16 jitter/noise epilogue differently than for the concatenate
+        # producer of the per-mode path — moving bf16 rounding and with it the
+        # exact gray-tie set that zeroes the hue-jitter gradient (ops/color.py),
+        # which skews the cutout gradient by ~80% and NaNs the engine by
+        # iteration 2 on TPU.  The barrier makes the unified path bitwise-match
+        # the per-mode epilogue (tools/exp7_fwd_banks.py: uni+barrier == perm
+        # exactly); the bank is already materialized as the kernel's output, so
+        # this costs nothing.
+        batch = jax.lax.optimization_barrier(batch)
     else:
         parts = []
         if nz:

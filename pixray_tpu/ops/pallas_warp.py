@@ -382,13 +382,18 @@ def _select_padded(sx, sy, mode, h, w):
     return sx_p, sy_p
 
 
-def _chunk_coords(inv_ref, s, kt, k_tile, out_size, h, w):
+def _chunk_coords(inv_ref, s, kt, k_tile, out_size, h, w, row=False):
     """Padded source coords for chunk member ``s`` of this tile.
 
     inv_ref: (n_chunk, 4, 3) SMEM — rows 0-2 the inverse homography, row 3
-    carries (mode, 0, 0)."""
+    carries (mode, 0, 0).  ``row=True`` lays the k_tile axis along LANES
+    ((1, k_tile) row vectors) for the transposed forward kernel; the default
+    column layout ((k_tile, 1)) serves the row-major kernels."""
     k0 = kt * k_tile
-    k = k0 + jax.lax.broadcasted_iota(jnp.int32, (k_tile, 1), 0)
+    if row:
+        k = k0 + jax.lax.broadcasted_iota(jnp.int32, (1, k_tile), 1)
+    else:
+        k = k0 + jax.lax.broadcasted_iota(jnp.int32, (k_tile, 1), 0)
     i = (k // out_size).astype(jnp.float32)
     j = (k % out_size).astype(jnp.float32)
     m00 = inv_ref[s, 0, 0]
@@ -481,6 +486,64 @@ def _fwd_kernel_multi(inv_ref, work_ref, out_ref, *, k_tile, out_size,
                 out_ref[s, c, :] = jnp.sum(tmp * b, axis=1)
 
 
+def _fwd_kernel_multi_T(inv_ref, work_ref, out_ref, *, k_tile, out_size,
+                        channels, prec, n_chunk):
+    """Transposed-layout forward: the k_tile axis stays in LANES end-to-end.
+
+    work_ref is the (C, W, H) transposed canvas, so the hat-y contraction is
+    tmpT = workT_c (W,H) @ aT (H,T) -> (W,T); the hat-x multiply and the 2-tap
+    x-interpolation sum then reduce over SUBLANES and the (T,) result writes
+    straight into the lane-major output block.  The row-major kernel's
+    cross-lane reduce + (T,1)->(T,) column extract cost ~6 ms/step at the
+    flagship shapes (tools/exp8_fwd_kernel.py ablations); this layout removes
+    both at identical MXU work."""
+    w, h = work_ref.shape[1], work_ref.shape[2]
+    kt = pl.program_id(1)
+    u_col = jax.lax.broadcasted_iota(jnp.int32, (h, k_tile), 0).astype(jnp.float32)
+    v_col = jax.lax.broadcasted_iota(jnp.int32, (w, k_tile), 0).astype(jnp.float32)
+    for s in range(n_chunk):
+        sx, sy = _chunk_coords(inv_ref, s, kt, k_tile, out_size, h, w, row=True)
+        a_t = jnp.maximum(0.0, 1.0 - jnp.abs(sy - u_col))  # (H, T)
+        b_t = jnp.maximum(0.0, 1.0 - jnp.abs(sx - v_col))  # (W, T)
+        for c in range(channels):
+            tmp_t = _mm(work_ref[c].astype(jnp.float32), a_t, prec)  # (W, T)
+            out_ref[s, c, :] = jnp.sum(tmp_t * b_t, axis=0)
+
+
+def _run_fwd_multi_T(work, inv, modes, out_size, interpret, k_tile, prec, n_chunk):
+    n = inv.shape[0]
+    h, w, c = work.shape
+    k = out_size * out_size
+    k_tiles = pl.cdiv(k, k_tile)
+    n_blocks = pl.cdiv(n, n_chunk)
+    pad_n = n_blocks * n_chunk - n
+    if pad_n:
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=inv.dtype), (pad_n, 3, 3))
+        inv = jnp.concatenate([inv, eye], 0)
+        modes = jnp.concatenate([modes, jnp.full((pad_n,), MODE_ZEROS, modes.dtype)], 0)
+    aug = _augment_inv(inv, modes)
+    kernel = functools.partial(
+        _fwd_kernel_multi_T, k_tile=k_tile, out_size=out_size, channels=c,
+        prec=prec, n_chunk=n_chunk,
+    )
+    work_wm = work.transpose(2, 1, 0)  # (C, W, H)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks, k_tiles),
+        in_specs=[
+            pl.BlockSpec((n_chunk, 4, 3), lambda i, t: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((c, w, h), lambda i, t: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_chunk, c, k_tile), lambda i, t: (i, 0, t), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * n_chunk, c, k_tiles * k_tile), jnp.float32),
+        interpret=interpret,
+        compiler_params=_compiler_params(),
+    )(aug, work_wm)
+    return (
+        out[:n, :, :k].transpose(0, 2, 1).reshape(n, out_size, out_size, c).astype(work.dtype)
+    )
+
+
 def _bwd_kernel_multi(inv_ref, g_ref, dwork_ref, *, k_tile, out_size,
                       channels, prec, n_chunk, band):
     h, w = dwork_ref.shape[1], dwork_ref.shape[2]
@@ -521,6 +584,10 @@ def _bwd_kernel_multi(inv_ref, g_ref, dwork_ref, *, k_tile, out_size,
 
 
 def _run_fwd_multi(work, inv, modes, out_size, interpret, k_tile, prec, n_chunk, band):
+    if not band and os.environ.get("PIXRAY_TPU_WARP_FWDT", "1") != "0":
+        # default: transposed-layout kernel (no banding support — band>0 or
+        # PIXRAY_TPU_WARP_FWDT=0 fall back to the row-major kernel below)
+        return _run_fwd_multi_T(work, inv, modes, out_size, interpret, k_tile, prec, n_chunk)
     n = inv.shape[0]
     h, w, c = work.shape
     k = out_size * out_size
@@ -554,7 +621,89 @@ def _run_fwd_multi(work, inv, modes, out_size, interpret, k_tile, prec, n_chunk,
     )
 
 
+def _mm_nt(a, b, prec):
+    """a @ bᵀ via dot_general contracting axis 1 of both — the MXU-native NT
+    form: (H, T), (W, T) -> (H, W) f32."""
+    dn = (((1,), (1,)), ((), ()))
+    if prec == "highest":
+        return jax.lax.dot_general(a, b, dn, preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+    if prec == "bf16":
+        return jax.lax.dot_general(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                                   dn, preferred_element_type=jnp.float32)
+    a_hi = a.astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dot = lambda x, y: jax.lax.dot_general(x, y, dn, preferred_element_type=jnp.float32)
+    return dot(a_hi, b_hi) + dot(a_lo, b_hi) + dot(a_hi, b_lo)
+
+
+def _bwd_kernel_multi_T(inv_ref, g_ref, dwork_ref, *, k_tile, out_size,
+                        channels, prec, n_chunk):
+    """Transposed-layout backward: k_tile stays in LANES (see _fwd_kernel_multi_T).
+
+    dwork[u,v] += Σ_t hat_y[u,t]·hat_x[v,t]·g[t]: the incoming cotangent row
+    g_ref[s,c,:] multiplies hat_x along lanes with NO (T,)->(T,1) relayout, and
+    the contraction over T runs as the MXU-native NT matmul aT @ gbTᵀ."""
+    h, w = dwork_ref.shape[1], dwork_ref.shape[2]
+    kt = pl.program_id(1)
+    nb = pl.program_id(0)
+
+    @pl.when(jnp.logical_and(nb == 0, kt == 0))
+    def _():
+        dwork_ref[...] = jnp.zeros_like(dwork_ref)
+
+    u_col = jax.lax.broadcasted_iota(jnp.int32, (h, k_tile), 0).astype(jnp.float32)
+    v_col = jax.lax.broadcasted_iota(jnp.int32, (w, k_tile), 0).astype(jnp.float32)
+    for s in range(n_chunk):
+        sx, sy = _chunk_coords(inv_ref, s, kt, k_tile, out_size, h, w, row=True)
+        a_t = jnp.maximum(0.0, 1.0 - jnp.abs(sy - u_col))  # (H, T)
+        b_t = jnp.maximum(0.0, 1.0 - jnp.abs(sx - v_col))  # (W, T)
+        for c in range(channels):
+            gb_t = b_t * g_ref[s, c, :].reshape(1, k_tile)
+            dwork_ref[c] += _mm_nt(a_t, gb_t, prec)
+
+
+def _run_bwd_multi_T(g, inv, modes, work_shape, out_size, interpret, k_tile, prec, n_chunk):
+    n = inv.shape[0]
+    h, w, c = work_shape
+    k = out_size * out_size
+    k_tiles = pl.cdiv(k, k_tile)
+    n_blocks = pl.cdiv(n, n_chunk)
+    pad_n = n_blocks * n_chunk - n
+    g_flat = g.reshape(n, k, c).transpose(0, 2, 1).astype(jnp.float32)
+    pad_k = k_tiles * k_tile - k
+    if pad_k or pad_n:
+        g_flat = jnp.pad(g_flat, ((0, pad_n), (0, 0), (0, pad_k)))
+    if pad_n:
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=inv.dtype), (pad_n, 3, 3))
+        inv = jnp.concatenate([inv, eye], 0)
+        modes = jnp.concatenate([modes, jnp.full((pad_n,), MODE_ZEROS, modes.dtype)], 0)
+    aug = _augment_inv(inv, modes)
+    kernel = functools.partial(
+        _bwd_kernel_multi_T, k_tile=k_tile, out_size=out_size, channels=c,
+        prec=prec, n_chunk=n_chunk,
+    )
+    dwork = pl.pallas_call(
+        kernel,
+        grid=(n_blocks, k_tiles),
+        in_specs=[
+            pl.BlockSpec((n_chunk, 4, 3), lambda i, t: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_chunk, c, k_tile), lambda i, t: (i, 0, t), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((c, h, w), lambda i, t: (0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, h, w), jnp.float32),
+        interpret=interpret,
+        compiler_params=_compiler_params(),
+    )(aug, g_flat)
+    return dwork.transpose(1, 2, 0)
+
+
 def _run_bwd_multi(g, inv, modes, work_shape, out_size, interpret, k_tile, prec, n_chunk, band):
+    if not band and os.environ.get("PIXRAY_TPU_WARP_BWDT", "1") != "0":
+        return _run_bwd_multi_T(g, inv, modes, work_shape, out_size, interpret,
+                                k_tile, prec, n_chunk)
     n = inv.shape[0]
     h, w, c = work_shape
     k = out_size * out_size

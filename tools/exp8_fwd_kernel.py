@@ -115,11 +115,25 @@ def timeit(f, *args, reps=20):
 def main():
     work, inv, modes = make_inputs(jax.random.PRNGKey(0))
 
+    prod_t = jax.jit(lambda w: PW._run_fwd_multi_T(w, inv, modes, S, False, K_TILE, "bf16", N_CHUNK))
+    print(f"transposed fwd (lanes-T) : {timeit(prod_t, work):8.2f} ms", flush=True)
+
+    os.environ["PIXRAY_TPU_WARP_FWDT"] = "0"
     prod = jax.jit(lambda w: PW._run_fwd_multi(w, inv, modes, S, False, K_TILE, "bf16", N_CHUNK, 0))
     print(f"production _run_fwd_multi: {timeit(prod, work):8.2f} ms", flush=True)
+    d = float(jnp.max(jnp.abs(prod_t(work) - prod(work))))
+    print(f"  T-vs-legacy max|diff|: {d:.3e}", flush=True)
+    del os.environ["PIXRAY_TPU_WARP_FWDT"]
 
-    gprod = jax.jit(jax.grad(lambda w: jnp.sum(PW._run_fwd_multi(w, inv, modes, S, False, K_TILE, 'bf16', N_CHUNK, 0) ** 2)))
-    print(f"production fwd+bwd (grad): {timeit(gprod, work):8.2f} ms", flush=True)
+    g = jax.random.normal(jax.random.PRNGKey(7), (N, S, S, C), jnp.float32)
+    bwd_t = jax.jit(lambda g: PW._run_bwd_multi_T(g, inv, modes, (H, W, C), S, False, K_TILE, "bf16", N_CHUNK))
+    print(f"transposed bwd (lanes-T) : {timeit(bwd_t, g):8.2f} ms", flush=True)
+    os.environ["PIXRAY_TPU_WARP_BWDT"] = "0"
+    bwd = jax.jit(lambda g: PW._run_bwd_multi(g, inv, modes, (H, W, C), S, False, K_TILE, "bf16", N_CHUNK, 0))
+    print(f"production _run_bwd_multi: {timeit(bwd, g):8.2f} ms", flush=True)
+    db = float(jnp.max(jnp.abs(bwd_t(g) - bwd(g))))
+    print(f"  bwdT-vs-legacy max|diff|: {db:.3e}", flush=True)
+    del os.environ["PIXRAY_TPU_WARP_BWDT"]
 
     ref = None
     for mode in ["asis", "mxu-reduce", "no-reduce", "no-hatx"]:

@@ -16,7 +16,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from pixray_tpu.drawers.base import DrawingInterface
-from pixray_tpu.ops.cellrender import build_coverage_map, build_inverse_map, composite_cells
+from pixray_tpu.ops.cellrender import (
+    build_coverage_map,
+    build_inverse_map,
+    composite_cells,
+    composite_cells_separable,
+    try_separable_operators,
+)
 from pixray_tpu.utils import map_number, str2bool
 
 SHIFT_PIXEL_TYPES = ["hex", "rectshift", "diamond"]
@@ -180,13 +186,22 @@ class PixelDrawer(DrawingInterface):
         self.polygons = polys
         self.num_cells = len(polys)
         indices, valid = build_coverage_map(polys, self.canvas_width, self.canvas_height)
-        cell_slots, cell_valid = build_inverse_map(indices, valid, self.num_cells)
-        self.model_params = {
-            "coverage_indices": jnp.asarray(indices),
-            "coverage_valid": jnp.asarray(valid),
-            "cell_slots": jnp.asarray(cell_slots),
-            "cell_slot_valid": jnp.asarray(cell_valid),
-        }
+        sep = try_separable_operators(indices, valid, self.num_rows, self.num_cols)
+        if sep is not None:
+            # rect grid: the coverage map factorizes — render as two matmuls
+            # (composite_cells_separable), no gathers in the hot loop
+            self.model_params = {
+                "sep_row_op": jnp.asarray(sep[0]),
+                "sep_col_op": jnp.asarray(sep[1]),
+            }
+        else:
+            cell_slots, cell_valid = build_inverse_map(indices, valid, self.num_cells)
+            self.model_params = {
+                "coverage_indices": jnp.asarray(indices),
+                "coverage_valid": jnp.asarray(valid),
+                "cell_slots": jnp.asarray(cell_slots),
+                "cell_slot_valid": jnp.asarray(cell_valid),
+            }
         self._geometry_built = True
 
     def load_model(self, settings):
@@ -245,6 +260,11 @@ class PixelDrawer(DrawingInterface):
 
     # ------------------------------------------------------------------- render
     def synth(self, model_params, z, iteration, key=None):
+        if "sep_row_op" in model_params:
+            return composite_cells_separable(
+                z, model_params["sep_row_op"], model_params["sep_col_op"],
+                self.num_rows, self.num_cols,
+            )
         return composite_cells(
             z,
             model_params["coverage_indices"],

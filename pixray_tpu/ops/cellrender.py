@@ -154,6 +154,56 @@ def build_coverage_map(polygons, canvas_width: int, canvas_height: int):
     return _trim_depth(indices, valid_depth)
 
 
+def try_separable_operators(indices, valid, num_rows: int, num_cols: int):
+    """Factorize a depth-1, fully-covered coverage map into row/col operators.
+
+    For the plain rectangle grid, the covering cell id at supersample
+    (ys, xs) factorizes as ``row_id[ys] * num_cols + col_id[xs]``.  When it
+    does (and every subsample is covered by exactly one cell), the whole
+    render — gather → premultiplied alpha-over on transparent black → SS box
+    filter — reassociates EXACTLY into two tiny MXU matmuls
+    ``R_eff @ premul(colors) @ C_eff`` with a native linear adjoint: no
+    gathers in the hot loop at all (the slot-gather backward costs ~2 ms/step
+    at the 432x768 flagship canvas).  Returns (R_eff (H, num_rows),
+    C_eff (num_cols, W)) float32 with the 1/SS box weights folded in, or
+    None when the map does not factorize (shifted/overlapping geometries).
+    """
+    indices = np.asarray(indices)
+    valid = np.asarray(valid)
+    if indices.shape[-1] != 1 or not bool(valid.all()):
+        return None
+    idx = indices[..., 0]
+    row_id = idx[:, 0] // num_cols
+    col_id = idx[0, :] % num_cols
+    if not np.array_equal(row_id[:, None] * num_cols + col_id[None, :], idx):
+        return None
+    hs, ws = idx.shape
+    height, width = hs // SS, ws // SS
+    r_op = np.zeros((height, num_rows), np.float32)
+    np.add.at(r_op, (np.repeat(np.arange(height), SS), row_id), 1.0 / SS)
+    c_op = np.zeros((num_cols, width), np.float32)
+    np.add.at(c_op, (col_id, np.repeat(np.arange(width), SS)), 1.0 / SS)
+    return r_op, c_op
+
+
+def composite_cells_separable(colors, r_op, c_op, num_rows: int, num_cols: int):
+    """Depth-1 full-coverage render as two matmuls (try_separable_operators).
+
+    Same math as composite_cells for that case: out = a*c premultiplied over
+    transparent black, SS-box-filtered — with the subsample sum reassociated
+    into separable fractional-coverage weights.  HIGHEST precision keeps the
+    tiny (H x rows x cols x W) contractions effectively exact in f32."""
+    import jax
+    import jax.numpy as jnp
+
+    a = colors[:, 3:4]
+    prem = jnp.concatenate([colors[:, :3] * a, a], axis=1)  # (cells, 4) premul
+    p = prem.reshape(num_rows, num_cols * 4)
+    t = jnp.dot(r_op, p, precision=jax.lax.Precision.HIGHEST)
+    t = t.reshape(-1, num_cols, 4)
+    return jnp.einsum("hck,cw->hwk", t, c_op, precision=jax.lax.Precision.HIGHEST)
+
+
 def build_inverse_map(indices, valid, num_cells: int):
     """Static inverse of the coverage map for a scatter-free backward pass.
 

@@ -42,6 +42,42 @@ class TestPixelDrawer:
         # center of cell (0,0) must be exactly color 0
         np.testing.assert_allclose(np.asarray(img[2, 3, :3]), np.asarray(z[0, :3]), atol=1e-5)
 
+    def test_separable_matches_gather_path(self):
+        """The rect grid's factorized matmul render (composite_cells_separable)
+        must match the generic gather+composite path in value AND gradient."""
+        from pixray_tpu.ops.cellrender import (
+            build_coverage_map,
+            build_inverse_map,
+            composite_cells,
+            composite_cells_separable,
+            try_separable_operators,
+        )
+
+        d = self.make(pixel_size=[8, 6])
+        assert "sep_row_op" in d.model_params  # rect grid auto-detects
+        z = d.init_params(jax.random.PRNGKey(3))
+        z = z.at[:, 3].set(jax.random.uniform(jax.random.PRNGKey(4), (z.shape[0],)))
+        indices, valid = build_coverage_map(d.polygons, d.canvas_width, d.canvas_height)
+        inv = build_inverse_map(indices, valid, d.num_cells)
+
+        def f_sep(z):
+            return composite_cells_separable(
+                z, d.model_params["sep_row_op"], d.model_params["sep_col_op"],
+                d.num_rows, d.num_cols)
+
+        def f_gather(z):
+            return composite_cells(
+                z, jnp.asarray(indices), jnp.asarray(valid),
+                d.canvas_height, d.canvas_width,
+                inverse_map=(jnp.asarray(inv[0]), jnp.asarray(inv[1])))
+
+        np.testing.assert_allclose(np.asarray(f_sep(z)), np.asarray(f_gather(z)),
+                                   atol=1e-5)
+        g_sep = jax.grad(lambda z: jnp.sum(f_sep(z) ** 2))(z)
+        g_gat = jax.grad(lambda z: jnp.sum(f_gather(z) ** 2))(z)
+        np.testing.assert_allclose(np.asarray(g_sep), np.asarray(g_gat),
+                                   rtol=1e-4, atol=1e-4)
+
     @pytest.mark.parametrize("ptype", ["rect", "rectshift", "hex", "tri", "diamond", "knit"])
     def test_all_geometries_render_and_grad(self, ptype):
         d = self.make(pixel_type=ptype, pixel_size=[10, 8])

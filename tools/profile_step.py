@@ -47,20 +47,41 @@ def main():
             e.train(it)
     print(f"trace written to {trace_dir}", flush=True)
 
-    # ---- parse: aggregate device-op self time by (category, op-name prefix)
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+    # ---- parse: per-op device self time from the "XLA Ops" trace line
+    # (tensorboard_plugin_profile's converter is protobuf-version-broken in
+    # this image; the xplane proto from tensorflow.tsl parses fine)
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+    from collections import defaultdict
+
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     xspaces = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True))
     if not xspaces:
         print("no xplane found", flush=True)
         return 1
-    params = {"graph_viewer_options": {}}
-    data, _ = rtd.xspace_to_tool_data([xspaces[-1]], "framework_op_stats^", params)
-    # data is a gviz JSON/csv blob; dump raw for the caller to eyeball
-    out = os.path.join(trace_dir, "op_stats.json")
-    with open(out, "w") as f:
-        f.write(data if isinstance(data, str) else data.decode())
-    print(f"op stats -> {out}", flush=True)
+    sp = xplane_pb2.XSpace()
+    with open(xspaces[-1], "rb") as f:
+        sp.ParseFromString(f.read())
+    steps = 16
+    for p in sp.planes:
+        if "TPU" not in p.name:
+            continue
+        ev_names = {k: v.name for k, v in p.event_metadata.items()}
+        for line in p.lines:
+            if line.name != "XLA Ops":
+                continue
+            tot = defaultdict(int)
+            cnt = defaultdict(int)
+            for ev in line.events:
+                nm = ev_names.get(ev.metadata_id, str(ev.metadata_id))
+                tot[nm] += ev.duration_ps
+                cnt[nm] += 1
+            T = sum(tot.values())
+            print(f'"XLA Ops" events={sum(cnt.values())} total={T / 1e9:.1f} ms '
+                  f"({steps} steps traced; ms/step = ms/{steps})", flush=True)
+            for nm, ps in sorted(tot.items(), key=lambda kv: -kv[1])[:25]:
+                print(f"  {ps / 1e9:9.3f} ms {100 * ps / T:5.1f}%  n={cnt[nm]:<5} {nm[:110]}",
+                      flush=True)
 
 
 if __name__ == "__main__":

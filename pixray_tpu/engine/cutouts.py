@@ -35,6 +35,7 @@ from pixray_tpu.ops.color import random_color_jitter
 from pixray_tpu.ops.pool import adaptive_avg_pool, adaptive_max_pool
 from pixray_tpu.ops.warp_batch import warp_batch as _xla_warp_batch
 from pixray_tpu.ops.warp_batch import warp_batch_modes as _xla_warp_batch_modes
+from pixray_tpu.ops.warp_batch import warp_batch_separable
 
 
 def warp_batch(work, matrices, cut_size, **kwargs):
@@ -89,6 +90,29 @@ def warp_batch_modes(work, matrices, modes, cut_size, **kwargs):
 
 NOISE_FAC = 0.1
 ZOOM_FRACTION = 0.6
+PERSP_P = 0.7  # per-cut perspective probability (ref pixray.py:404-409 K.RandomPerspective p=0.7)
+
+
+def split_persp_enabled() -> bool:
+    """Fixed-count perspective split (default).
+
+    The reference applies random perspective to each cut with independent
+    probability p=0.7; the non-perspective cuts are AXIS-ALIGNED and their
+    warp factorizes into two tiny matmuls (warp_batch_separable) instead of
+    the dense hat contraction — the profiled top cost of the step.  Fixing the
+    perspective count at its expectation round(p*n) per branch (the same kind
+    of determinization as the existing 60/40 zoom/wide split) makes the split
+    static so the separable cuts skip the Pallas kernel entirely: each cut's
+    marginal transform distribution is unchanged; only the Binomial count
+    variance across the bank is removed.  PIXRAY_TPU_SPLIT_PERSP=0 restores
+    per-cut Bernoulli sampling (exact kornia semantics)."""
+    return os.environ.get("PIXRAY_TPU_SPLIT_PERSP", "1") == "1"
+
+
+def persp_split(n: int) -> tuple[int, int]:
+    """(n_perspective, n_separable) for a branch of ``n`` cuts."""
+    n_p = int(round(PERSP_P * n))
+    return n_p, n - n_p
 
 
 def square_work_enabled() -> bool:
@@ -194,25 +218,52 @@ def sample_cut_transforms(key, cut_size: int, cutn: int, aspect: float):
     """
     wh, ww = work_canvas_shape(cut_size, aspect)
     n_zoom, n_wide = split_counts(cutn)
+    split = split_persp_enabled()
 
-    def one_zoom(k):
+    def one_zoom(k, persp):
+        # same key schedule in both modes: a slot's crop is identical whether
+        # its perspective comes from Bernoulli(kp) or the fixed-count split
         k1, k2, kp = jax.random.split(k, 3)
-        m_persp = W.maybe(kp, 0.7, W.random_perspective(k1, wh, ww, 0.40))
+        p = W.random_perspective(k1, wh, ww, 0.40)
+        if split:
+            m_persp = p if persp else jnp.eye(3, dtype=p.dtype)
+        else:
+            m_persp = W.maybe(kp, PERSP_P, p)
         m_crop = W.random_resized_crop(k2, wh, ww, cut_size, scale=(0.25, 0.95), ratio=(0.85, 1.2))
         return W.mm3(m_crop, m_persp)
 
     translate, scale_range = _wide_affine_params(aspect)
 
-    def one_wide(k):
+    def one_wide(k, persp):
         k1, k2, kp = jax.random.split(k, 3)
         m_aff = W.random_affine(k1, wh, ww, translate, scale_range)
         m_center = W.center_crop_transform(wh, ww, cut_size)
-        m_persp = W.maybe(kp, 0.7, W.random_perspective(k2, cut_size, cut_size, 0.20))
+        p = W.random_perspective(k2, cut_size, cut_size, 0.20)
+        if split:
+            m_persp = p if persp else jnp.eye(3, dtype=p.dtype)
+        else:
+            m_persp = W.maybe(kp, PERSP_P, p)
         return W.mm3(W.mm3(m_persp, m_center), m_aff)
 
+    def branch(fn, k, n):
+        """Bank for one branch; under the split the first persp_split(n)[0]
+        slots carry perspective (render_cutouts relies on this order)."""
+        if not n:
+            return jnp.zeros((0, 3, 3))
+        keys = jax.random.split(k, n)
+        if not split:
+            return jax.vmap(lambda kk: fn(kk, True))(keys)
+        n_p, n_s = persp_split(n)
+        parts = []
+        if n_p:
+            parts.append(jax.vmap(lambda kk: fn(kk, True))(keys[:n_p]))
+        if n_s:
+            parts.append(jax.vmap(lambda kk: fn(kk, False))(keys[n_p:]))
+        return jnp.concatenate(parts, axis=0)
+
     kz, kw = jax.random.split(key)
-    zoom_ms = jax.vmap(one_zoom)(jax.random.split(kz, n_zoom)) if n_zoom else jnp.zeros((0, 3, 3))
-    wide_ms = jax.vmap(one_wide)(jax.random.split(kw, n_wide)) if n_wide else jnp.zeros((0, 3, 3))
+    zoom_ms = branch(one_zoom, kz, n_zoom)
+    wide_ms = branch(one_wide, kw, n_wide)
     if square_work_enabled() and aspect != 1.0:
         # fold the pooled→work rescale into every matrix so the warp gathers
         # the identical geometry from the SQUARE pooled canvas (no re-widening
@@ -257,21 +308,48 @@ def render_cutouts(
         # fusion-context effect on the epilogue, fixed by the barrier below
         # (BUGS.md, tools/exp7_fwd_banks.py).  PIXRAY_TPU_UNIFIED_WARP=0
         # restores the per-mode kernels for A/B debugging.
-        ms = jnp.concatenate([zoom_ms, wide_ms], axis=0)
         zoom_mode = jnp.where(reflect_padding, 0, 1).astype(jnp.int32)  # 0=refl, 1=border
-        modes = jnp.concatenate(
-            [jnp.broadcast_to(zoom_mode, (nz,)), jnp.full((nw,), 2, jnp.int32)], axis=0
-        )
-        fill_mask = (
-            jnp.concatenate(
-                [jnp.zeros((nz,), bool), jnp.ones((nw,), bool)], axis=0
+        n_zp, n_zs = persp_split(nz) if split_persp_enabled() else (nz, 0)
+        n_wp, n_ws = persp_split(nw) if split_persp_enabled() else (nw, 0)
+        parts = []
+        if n_zp or n_wp:
+            # dense bank: the perspective cuts (first persp_split slots of each
+            # branch — sample_cut_transforms' order contract)
+            ms = jnp.concatenate([zoom_ms[:n_zp], wide_ms[:n_wp]], axis=0)
+            modes = jnp.concatenate(
+                [jnp.broadcast_to(zoom_mode, (n_zp,)), jnp.full((n_wp,), 2, jnp.int32)],
+                axis=0,
             )
-            if nw
-            else None
-        )
-        batch = warp_batch_modes(
-            work, ms, modes, cut_size, fill_value=fill_color, fill_mask=fill_mask
-        )
+            fill_mask = (
+                jnp.concatenate([jnp.zeros((n_zp,), bool), jnp.ones((n_wp,), bool)], axis=0)
+                if n_wp
+                else None
+            )
+            parts.append(
+                warp_batch_modes(
+                    work, ms, modes, cut_size, fill_value=fill_color, fill_mask=fill_mask
+                )
+            )
+        if n_zs or n_ws:
+            # separable bank: axis-aligned cuts render as two matmuls per cut
+            # (warp_batch_separable) — no Pallas launch, native matmul adjoint
+            ms_s = jnp.concatenate([zoom_ms[n_zp:], wide_ms[n_wp:]], axis=0)
+            modes_s = jnp.concatenate(
+                [jnp.broadcast_to(zoom_mode, (n_zs,)), jnp.full((n_ws,), 2, jnp.int32)],
+                axis=0,
+            )
+            fill_mask_s = (
+                jnp.concatenate([jnp.zeros((n_zs,), bool), jnp.ones((n_ws,), bool)], axis=0)
+                if n_ws
+                else None
+            )
+            parts.append(
+                warp_batch_separable(
+                    work, ms_s, modes_s, cut_size, fill_value=fill_color,
+                    fill_mask=fill_mask_s,
+                )
+            )
+        batch = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
         # P0 fix (BUGS.md, exp5-7 bisection): pin the bank values at this
         # boundary.  With the single pallas_call as producer, XLA fuses the
         # bf16 jitter/noise epilogue differently than for the concatenate

@@ -199,6 +199,52 @@ def warp_batch_modes(work, matrices, modes, out_size: int, fill_value=0.0,
     return out
 
 
+def warp_batch_separable(work, matrices, modes, out_size: int, fill_value=0.0,
+                         fill_mask=None):
+    """Axis-aligned bank warp as two dense matmuls per cut (MXU fast path).
+
+    ``matrices`` must be axis-aligned src→dst (m01=m10=m20=m21=0): the source
+    coordinate of output pixel (i, j) then factorizes as (sy(i), sx(j)) and
+    the bilinear warp is EXACTLY  out[n] = Ay[n] @ work @ Bx[n]^T  with dense
+    2-sparse hat operators — ~100x fewer FLOPs than the dense-homography hat
+    contraction (the hats are (S, H) instead of (S*S, H)).  Gradients flow
+    through plain matmuls: XLA's native AD adjoint, no scatter, no custom VJP.
+
+    Semantics match warp_batch_modes bit-for-bit on such matrices: per-cut
+    padding modes (0=refl, 1=border, 2=zeros) transform the 1-D coordinate
+    vectors, and ``fill_mask`` cuts composite toward ``fill_value`` via the
+    separable closed-form coverage product.
+    """
+    h, w, c = work.shape
+    dtype = work.dtype
+    inv = jax.vmap(inv3x3)(matrices)
+    idx = jnp.arange(out_size, dtype=dtype)
+    denom = inv[:, 2, 2, None] + 1e-8  # matches _source_coords' homogeneous divide
+    sx = (inv[:, 0, 0, None] * idx[None, :] + inv[:, 0, 2, None]) / denom  # (N, S)
+    sy = (inv[:, 1, 1, None] * idx[None, :] + inv[:, 1, 2, None]) / denom  # (N, S)
+    tx, ty = _select_coords(sx, sy, modes[:, None], h, w)
+    u = jnp.arange(h, dtype=dtype)
+    v = jnp.arange(w, dtype=dtype)
+    ay = jnp.maximum(0.0, 1.0 - jnp.abs(ty[:, :, None] - u[None, None, :]))  # (N,S,H)
+    bx = jnp.maximum(0.0, 1.0 - jnp.abs(tx[:, :, None] - v[None, None, :]))  # (N,S,W)
+    mm = _matmul_dtype()
+    tmp = jnp.einsum("niu,uvc->nivc", ay.astype(mm), work.astype(mm),
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("nivc,njv->nijc", tmp.astype(mm), bx.astype(mm),
+                     preferred_element_type=jnp.float32).astype(dtype)
+    if fill_mask is not None:
+        inx = (sx >= -0.5) & (sx <= w - 0.5)
+        iny = (sy >= -0.5) & (sy <= h - 0.5)
+        inside = (iny[:, :, None] & inx[:, None, :])[..., None]
+        cx = jnp.clip(jnp.minimum(sx + 1.0, w - sx), 0.0, 1.0)
+        cy = jnp.clip(jnp.minimum(sy + 1.0, h - sy), 0.0, 1.0)
+        cover = jax.lax.stop_gradient(cy[:, :, None] * cx[:, None, :])[..., None]
+        fill = jnp.asarray(fill_value, dtype)
+        filled = jnp.where(inside, out + (1.0 - cover) * fill, fill)
+        out = jnp.where(fill_mask[:, None, None, None], filled, out)
+    return out
+
+
 def warp_batch(work, matrices, out_size: int, padding_mode="zeros", fill_value=0.0):
     """Warp a bank of N homographies out of one canvas with a matmul adjoint.
 

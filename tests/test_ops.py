@@ -128,6 +128,61 @@ class TestCutoutPipeline:
         b2 = render_cutouts(work, t, 32, reflect_padding=True, fill_color=jnp.float32(0.3), noise_key=k_noise)
         np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
 
+    def test_separable_matches_generic_warp(self):
+        """warp_batch_separable must match the generic mixed-mode XLA path in
+        value AND gradient on axis-aligned matrices (all 3 padding modes +
+        fill compositing) — the contract the fixed-count perspective split
+        relies on."""
+        from pixray_tpu.ops.warp import crop_box_transform
+        from pixray_tpu.ops.warp_batch import (
+            warp_batch_modes as generic,
+        )
+        from pixray_tpu.ops.warp_batch import warp_batch_separable
+
+        rng = np.random.default_rng(3)
+        work = jnp.asarray(rng.random((40, 40, 3)), jnp.float32)
+        boxes = [
+            (2.0, 3.0, 30.0, 28.0),   # interior crop (refl mode)
+            (0.0, 0.0, 40.0, 40.0),   # full canvas (border mode)
+            (-6.0, -8.0, 52.0, 56.0), # superset -> zeros+fill composite
+            (5.5, 1.25, 12.5, 33.0),  # fractional offsets (refl)
+        ]
+        ms = jnp.stack([crop_box_transform(*b, 24, 24) for b in boxes])
+        modes = jnp.asarray([0, 1, 2, 0], jnp.int32)
+        fill_mask = jnp.asarray([False, False, True, False])
+
+        def f_sep(w):
+            return warp_batch_separable(w, ms, modes, 24, fill_value=0.37,
+                                        fill_mask=fill_mask)
+
+        def f_gen(w):
+            return generic(w, ms, modes, 24, fill_value=0.37, fill_mask=fill_mask)
+
+        np.testing.assert_allclose(np.asarray(f_sep(work)), np.asarray(f_gen(work)),
+                                   atol=1e-5)
+        g_sep = jax.grad(lambda w: jnp.sum(f_sep(w) ** 2))(work)
+        g_gen = jax.grad(lambda w: jnp.sum(f_gen(w) ** 2))(work)
+        np.testing.assert_allclose(np.asarray(g_sep), np.asarray(g_gen),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_persp_split_order_contract(self):
+        """Under the fixed-count split the first persp_split(n) slots of each
+        branch carry perspective and the rest are EXACTLY axis-aligned."""
+        from pixray_tpu.engine.cutouts import (
+            persp_split,
+            sample_cut_transforms,
+            split_counts,
+        )
+
+        zoom_ms, wide_ms = sample_cut_transforms(KEY, 32, 16, 96 / 54)
+        nz, nw = split_counts(16)
+        for ms, n in ((np.asarray(zoom_ms), nz), (np.asarray(wide_ms), nw)):
+            n_p, n_s = persp_split(n)
+            assert n_p + n_s == n and n_s > 0
+            off_axis = np.stack([ms[:, 0, 1], ms[:, 1, 0], ms[:, 2, 0], ms[:, 2, 1]], -1)
+            assert np.all(off_axis[n_p:] == 0.0)  # separable slots
+            assert np.all(np.any(off_axis[:n_p] != 0.0, axis=-1))  # perspective slots
+
     def test_square_work_matches_widened_geometry(self, monkeypatch):
         """The square-work default samples the SAME cutout geometry as the
         reference-shaped widened canvas (aspect fold into the matrices): banks

@@ -39,7 +39,13 @@ K_TILE = int(os.environ.get("PIXRAY_TPU_WARP_KTILE", "512"))
 # (error-compensated bf16, ~f32-exact) 132, exact-f32 "highest" 206.  bf16's
 # ~1e-2 output quantization sits far below the noise_fac=0.1 augmentation noise
 # every cutout receives downstream, so the fast mode is the default.
-WARP_PREC = os.environ.get("PIXRAY_TPU_WARP_PREC", "bf16")
+# default "int8": the transposed multi FORWARD runs its hat-y contraction on
+# the int8 MXU path (~1.3x bf16 on v5e; quantization error ~1% of canvas
+# range, an order below the engine's noise_fac=0.1 forward noise); every
+# other kernel — all backwards included — runs bf16 (_norm_prec).  Set
+# PIXRAY_TPU_WARP_PREC=bf16 for the round-2 numerics, =highest for the
+# exact audit mode (see README).
+WARP_PREC = os.environ.get("PIXRAY_TPU_WARP_PREC", "int8")
 # adaptive row-band height for the hat matmuls (0 disables — the measured
 # default): banding cuts the contraction from H to `band` rows with an exact
 # corner-bounded span test, but on v5e the pl.when + dynamic-slice machinery
@@ -289,7 +295,14 @@ def _compiler_params():
     return None
 
 
+def _norm_prec(prec):
+    """int8 exists only on the transposed multi forward; every other kernel
+    (row-major/banded forwards, all backwards) runs it as bf16."""
+    return "bf16" if prec == "int8" else prec
+
+
 def _run_fwd(work, inv_matrices, out_size, padding_mode, interpret, k_tile, prec, band):
+    prec = _norm_prec(prec)
     n = inv_matrices.shape[0]
     h, w, c = work.shape
     k = out_size * out_size
@@ -318,6 +331,7 @@ def _run_fwd(work, inv_matrices, out_size, padding_mode, interpret, k_tile, prec
 
 def _run_bwd(g, inv_matrices, work_shape, out_size, padding_mode, interpret,
              k_tile, prec, band):
+    prec = _norm_prec(prec)
     n = inv_matrices.shape[0]
     h, w, c = work_shape
     k = out_size * out_size
@@ -505,6 +519,20 @@ def _fwd_kernel_multi_T(inv_ref, work_ref, out_ref, *, k_tile, out_size,
         sx, sy = _chunk_coords(inv_ref, s, kt, k_tile, out_size, h, w, row=True)
         a_t = jnp.maximum(0.0, 1.0 - jnp.abs(sy - u_col))  # (H, T)
         b_t = jnp.maximum(0.0, 1.0 - jnp.abs(sx - v_col))  # (W, T)
+        if prec == "int8":
+            # int8 MXU path (~1.3x the bf16 kernel on v5e): work arrives
+            # pre-quantized (symmetric, dynamic scale — _run_fwd_multi_T),
+            # hats quantize to round(a*127) in-kernel; the combined
+            # s_w/127^2 dequant is folded into the output OUTSIDE the kernel
+            # (the warp is linear in work).  Error ~9e-3 on [0,1] canvases —
+            # an order below the engine's noise_fac=0.1 forward noise.
+            a_q = jnp.round(a_t * 127.0).astype(jnp.int8)
+            dn = (((1,), (0,)), ((), ()))
+            for c in range(channels):
+                tmp_i = jax.lax.dot_general(work_ref[c], a_q, dn,
+                                            preferred_element_type=jnp.int32)
+                out_ref[s, c, :] = jnp.sum(tmp_i.astype(jnp.float32) * b_t, axis=0)
+            continue
         for c in range(channels):
             tmp_t = _mm(work_ref[c].astype(jnp.float32), a_t, prec)  # (W, T)
             out_ref[s, c, :] = jnp.sum(tmp_t * b_t, axis=0)
@@ -527,6 +555,11 @@ def _run_fwd_multi_T(work, inv, modes, out_size, interpret, k_tile, prec, n_chun
         prec=prec, n_chunk=n_chunk,
     )
     work_wm = work.transpose(2, 1, 0)  # (C, W, H)
+    post_scale = None
+    if prec == "int8":
+        s_w = jnp.maximum(jnp.max(jnp.abs(work)).astype(jnp.float32), 1e-6)
+        work_wm = jnp.round(work_wm.astype(jnp.float32) / s_w * 127.0).astype(jnp.int8)
+        post_scale = s_w / (127.0 * 127.0)
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks, k_tiles),
@@ -539,6 +572,8 @@ def _run_fwd_multi_T(work, inv, modes, out_size, interpret, k_tile, prec, n_chun
         interpret=interpret,
         compiler_params=_compiler_params(),
     )(aug, work_wm)
+    if post_scale is not None:
+        out = out * post_scale
     return (
         out[:n, :, :k].transpose(0, 2, 1).reshape(n, out_size, out_size, c).astype(work.dtype)
     )
@@ -588,6 +623,7 @@ def _run_fwd_multi(work, inv, modes, out_size, interpret, k_tile, prec, n_chunk,
         # default: transposed-layout kernel (no banding support — band>0 or
         # PIXRAY_TPU_WARP_FWDT=0 fall back to the row-major kernel below)
         return _run_fwd_multi_T(work, inv, modes, out_size, interpret, k_tile, prec, n_chunk)
+    prec = _norm_prec(prec)
     n = inv.shape[0]
     h, w, c = work.shape
     k = out_size * out_size
@@ -701,6 +737,7 @@ def _run_bwd_multi_T(g, inv, modes, work_shape, out_size, interpret, k_tile, pre
 
 
 def _run_bwd_multi(g, inv, modes, work_shape, out_size, interpret, k_tile, prec, n_chunk, band):
+    prec = _norm_prec(prec)
     if not band and os.environ.get("PIXRAY_TPU_WARP_BWDT", "1") != "0":
         return _run_bwd_multi_T(g, inv, modes, work_shape, out_size, interpret,
                                 k_tile, prec, n_chunk)

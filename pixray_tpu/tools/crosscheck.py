@@ -66,6 +66,18 @@ def main() -> int:
     print(f"[default] mixed-mode fwd maxdiff: {diff:.2e}")
     ok &= diff < 2e-2
 
+    # the int8 MXU forward (default on TPU since round 3): symmetric 8-bit
+    # quantization bounds the forward error at ~1% of the canvas range — an
+    # order below the engine's noise_fac=0.1; backward stays bf16 (exact
+    # match with the bf16-prec gradient is asserted by the [default] bwd
+    # check below running at WARP_PREC's value)
+    a8 = jax.jit(lambda w: pallas_warp_batch_modes(
+        w, ms, modes, 224, fill_value=0.5, fill_mask=fill_mask,
+        precision="int8"))(work)
+    diff8 = float(jnp.abs(a8 - b).max())
+    print(f"[int8] mixed-mode fwd maxdiff: {diff8:.2e}")
+    ok &= diff8 < 3e-2
+
     ga = jax.jit(jax.grad(lambda w: jnp.sum(pallas_warp_batch_modes(
         w, ms, modes, 224, fill_value=0.5, fill_mask=fill_mask) * g_out)))(work)
     gb = jax.jit(jax.grad(lambda w: jnp.sum(warp_batch_modes(

@@ -112,11 +112,63 @@ def timeit(f, *args, reps=20):
     return best * 1e3
 
 
+def int8_kernel_T(inv_ref, work_ref, out_ref, *, k_tile, out_size, channels, n_chunk):
+    """Transposed fwd with the hat-y contraction on the int8 MXU path:
+    work pre-quantized to int8 outside (symmetric, dynamic scale), hats
+    quantized in-kernel to round(a*127); dequant scale folded in afterwards."""
+    w, h = work_ref.shape[1], work_ref.shape[2]
+    kt = pl.program_id(1)
+    u_col = jax.lax.broadcasted_iota(jnp.int32, (h, k_tile), 0).astype(jnp.float32)
+    v_col = jax.lax.broadcasted_iota(jnp.int32, (w, k_tile), 0).astype(jnp.float32)
+    dn = (((1,), (0,)), ((), ()))
+    for s in range(n_chunk):
+        sx, sy = PW._chunk_coords(inv_ref, s, kt, k_tile, out_size, h, w, row=True)
+        a_t = jnp.maximum(0.0, 1.0 - jnp.abs(sy - u_col))
+        a_q = jnp.round(a_t * 127.0).astype(jnp.int8)
+        b_t = jnp.maximum(0.0, 1.0 - jnp.abs(sx - v_col))
+        for c in range(channels):
+            tmp_i = jax.lax.dot_general(work_ref[c], a_q, dn,
+                                        preferred_element_type=jnp.int32)
+            out_ref[s, c, :] = jnp.sum(tmp_i.astype(jnp.float32) * b_t, axis=0)
+
+
+def run_int8_T(work, inv, modes):
+    k = S * S
+    k_tiles = pl.cdiv(k, K_TILE)
+    n_blocks = pl.cdiv(N, N_CHUNK)
+    aug = PW._augment_inv(inv, modes)
+    s_w = jnp.maximum(jnp.max(jnp.abs(work)), 1e-6)
+    work_q = jnp.round(work.transpose(2, 1, 0) / s_w * 127.0).astype(jnp.int8)
+    kernel = functools.partial(
+        int8_kernel_T, k_tile=K_TILE, out_size=S, channels=C, n_chunk=N_CHUNK)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks, k_tiles),
+        in_specs=[
+            pl.BlockSpec((N_CHUNK, 4, 3), lambda i, t: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((C, W, H), lambda i, t: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((N_CHUNK, C, K_TILE), lambda i, t: (i, 0, t), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * N_CHUNK, C, k_tiles * K_TILE), jnp.float32),
+        compiler_params=PW._compiler_params(),
+    )(aug, work_q)
+    return out * (s_w / (127.0 * 127.0))
+
+
 def main():
     work, inv, modes = make_inputs(jax.random.PRNGKey(0))
 
     prod_t = jax.jit(lambda w: PW._run_fwd_multi_T(w, inv, modes, S, False, K_TILE, "bf16", N_CHUNK))
     print(f"transposed fwd (lanes-T) : {timeit(prod_t, work):8.2f} ms", flush=True)
+
+    i8 = jax.jit(run_int8_T)
+    print(f"int8 fwd (lanes-T)       : {timeit(i8, work, inv, modes):8.2f} ms", flush=True)
+    ref_t = prod_t(work)
+    got = i8(work, inv, modes)
+    k = S * S
+    got = got[:N, :, :k].transpose(0, 2, 1).reshape(N, S, S, C)
+    d = float(jnp.max(jnp.abs(got - ref_t)))
+    print(f"  int8-vs-bf16 max|diff|: {d:.3e}", flush=True)
 
     os.environ["PIXRAY_TPU_WARP_FWDT"] = "0"
     prod = jax.jit(lambda w: PW._run_fwd_multi(w, inv, modes, S, False, K_TILE, "bf16", N_CHUNK, 0))

@@ -148,16 +148,6 @@ def _fwd_store_kernel(meta_ref, samples_ref, bg_ref, out_ref, prefix_ref, *,
             _paint_stroke(meta_ref, samples_ref, out_ref, s, px, py, n_segs)
 
 
-def _seg_arrays(samples_ref, s, n_segs):
-    """Segment endpoints of stroke s as (n_segs, 1, 1) broadcastable arrays."""
-    ax = jnp.stack([samples_ref[s, j, 0] for j in range(n_segs)])
-    ay = jnp.stack([samples_ref[s, j, 1] for j in range(n_segs)])
-    bx = jnp.stack([samples_ref[s, j + 1, 0] for j in range(n_segs)])
-    by = jnp.stack([samples_ref[s, j + 1, 1] for j in range(n_segs)])
-    rs = lambda v: v.reshape(n_segs, 1, 1)
-    return rs(ax), rs(ay), rs(bx), rs(by)
-
-
 def _bwd_kernel(meta_ref, samples_ref, prefix_ref, g_ref,
                 dsam_ref, dmeta_ref, dbg_ref,
                 a_scr, s_scr, suffix_scr, canvas_scr, *,
@@ -206,17 +196,34 @@ def _bwd_kernel(meta_ref, samples_ref, prefix_ref, g_ref,
             width = meta_ref[s, 0]
             col = (meta_ref[s, 1], meta_ref[s, 2], meta_ref[s, 3])
             alpha = meta_ref[s, 4]
-            ax, ay, bx, by = _seg_arrays(samples_ref, s, n_segs)
-            abx, aby = bx - ax, by - ay
-            ab2 = abx * abx + aby * aby + 1e-8
-            t = ((px[None] - ax) * abx + (py[None] - ay) * aby) / ab2
-            t = jnp.clip(t, 0.0, 1.0)
-            ex = px[None] - (ax + t * abx)  # (n_segs, th, tw)
-            ey = py[None] - (ay + t * aby)
-            d2 = ex * ex + ey * ey
-            d2min = jnp.min(d2, axis=0)  # (th, tw)
-            ties = (d2 == d2min[None]).astype(jnp.float32)
-            wgt = ties / jnp.sum(ties, axis=0)[None]
+
+            # per-segment math runs with SCALAR endpoints (like the forward):
+            # Mosaic rejects both the (n_segs,)->(n_segs,1,1) shape cast and
+            # the (n_segs,th,tw) -> (n_segs,) axis-(1,2) reduction layout, so
+            # the segment axis is an unrolled Python loop and every reduction
+            # lands on a scalar.
+            def seg_geom(j):
+                ax = samples_ref[s, j, 0]
+                ay = samples_ref[s, j, 1]
+                bx = samples_ref[s, j + 1, 0]
+                by = samples_ref[s, j + 1, 1]
+                abx, aby = bx - ax, by - ay
+                ab2 = abx * abx + aby * aby + 1e-8
+                t = jnp.clip(((px - ax) * abx + (py - ay) * aby) / ab2, 0.0, 1.0)
+                ex = px - (ax + t * abx)  # (th, tw)
+                ey = py - (ay + t * aby)
+                return t, ex, ey
+
+            d2s = []
+            for j in range(n_segs):
+                t, ex, ey = seg_geom(j)
+                d2s.append(ex * ex + ey * ey)
+            d2min = d2s[0]
+            for j in range(1, n_segs):
+                d2min = jnp.minimum(d2min, d2s[j])
+            tie_sum = (d2s[0] == d2min).astype(jnp.float32)
+            for j in range(1, n_segs):
+                tie_sum += (d2s[j] == d2min).astype(jnp.float32)
             dist = jnp.sqrt(d2min + 1e-12)
             cov = jnp.clip(width / 2.0 + 0.5 - dist, 0.0, 1.0)
             ramp = jnp.logical_and(cov > 0.0, cov < 1.0).astype(jnp.float32)
@@ -245,19 +252,23 @@ def _bwd_kernel(meta_ref, samples_ref, prefix_ref, g_ref,
                 jnp.sum(da * cov),
                 jnp.zeros(()), jnp.zeros(()), jnp.zeros(()), jnp.zeros(()),
             ])
-            dd2 = (ddist / (2.0 * dist))[None] * wgt  # (n_segs, th, tw)
-            gax = jnp.sum(dd2 * (-2.0 * ex) * (1.0 - t), axis=(1, 2))  # (n_segs,)
-            gay = jnp.sum(dd2 * (-2.0 * ey) * (1.0 - t), axis=(1, 2))
-            gbx = jnp.sum(dd2 * (-2.0 * ex) * t, axis=(1, 2))
-            gby = jnp.sum(dd2 * (-2.0 * ey) * t, axis=(1, 2))
-            # polyline point j = segment j's a-end + segment j-1's b-end
-            zero = jnp.zeros((1,), jnp.float32)
-            dsam_ref[0, 0, s, 0, :] = jnp.concatenate([gax, zero]) + jnp.concatenate(
-                [zero, gbx]
-            )
-            dsam_ref[0, 0, s, 1, :] = jnp.concatenate([gay, zero]) + jnp.concatenate(
-                [zero, gby]
-            )
+            base = ddist / (2.0 * dist)  # (th, tw)
+            # polyline point j = segment j's a-end + segment j-1's b-end;
+            # point gradients accumulate as scalars and store as ONE stacked
+            # row per coordinate (scalar stores to VMEM are unsupported)
+            gx, gy = [], []
+            prev_gbx = prev_gby = 0.0
+            for j in range(n_segs):
+                t, ex, ey = seg_geom(j)
+                dd2 = base * ((d2s[j] == d2min).astype(jnp.float32) / tie_sum)
+                gx.append(jnp.sum(dd2 * (-2.0 * ex) * (1.0 - t)) + prev_gbx)
+                gy.append(jnp.sum(dd2 * (-2.0 * ey) * (1.0 - t)) + prev_gby)
+                prev_gbx = jnp.sum(dd2 * (-2.0 * ex) * t)
+                prev_gby = jnp.sum(dd2 * (-2.0 * ey) * t)
+            gx.append(prev_gbx)
+            gy.append(prev_gby)
+            dsam_ref[0, 0, s, 0, :] = jnp.stack(gx)
+            dsam_ref[0, 0, s, 1, :] = jnp.stack(gy)
 
             # advance the below-canvas to include this stroke
             one_m = 1.0 - a

@@ -76,12 +76,44 @@ def main():
                 nm = ev_names.get(ev.metadata_id, str(ev.metadata_id))
                 tot[nm] += ev.duration_ps
                 cnt[nm] += 1
-            T = sum(tot.values())
-            print(f'"XLA Ops" events={sum(cnt.values())} total={T / 1e9:.1f} ms '
-                  f"({steps} steps traced; ms/step = ms/{steps})", flush=True)
-            for nm, ps in sorted(tot.items(), key=lambda kv: -kv[1])[:25]:
+            # the %while wrapper's duration covers its children — report it as
+            # the step wall but exclude it from the category sums
+            wall_ps = sum(ps for nm, ps in tot.items() if nm.startswith("%while"))
+            inner = {nm: ps for nm, ps in tot.items() if not nm.startswith("%while")}
+            T = sum(inner.values())
+            print(f'"XLA Ops" events={sum(cnt.values())}; while-wall '
+                  f"{wall_ps / 1e9 / steps:.2f} ms/step; op-self total "
+                  f"{T / 1e9 / steps:.2f} ms/step ({steps} steps traced)", flush=True)
+            for nm, ps in sorted(inner.items(), key=lambda kv: -kv[1])[:25]:
                 print(f"  {ps / 1e9:9.3f} ms {100 * ps / T:5.1f}%  n={cnt[nm]:<5} {nm[:110]}",
                       flush=True)
+
+            def category(nm):
+                if " custom-call(" in nm:
+                    return "pallas custom-call"
+                if nm.startswith(("%copy", "%bitcast", "%reshape", "%transpose")):
+                    return "layout copy/reshape"
+                if "224,224" in nm and ("768" in nm or "3072" in nm or "50176" in nm):
+                    return "clip patchify boundary"
+                if "224,224" in nm:
+                    return "cutout epilogue (64x224x224 elementwise)"
+                if "768" in nm or "3072" in nm or "64,50" in nm or "50,64" in nm:
+                    return "clip tower"
+                if "convolution" in nm or "dot" in nm:
+                    return "matmul/conv other"
+                return "other"
+
+            cats = defaultdict(int)
+            for nm, ps in inner.items():
+                cats[category(nm)] += ps
+            print("-- category sums (op self time, ms/step) --", flush=True)
+            for c, ps in sorted(cats.items(), key=lambda kv: -kv[1]):
+                print(f"  {ps / 1e9 / steps:7.2f} ms/step {100 * ps / T:5.1f}%  {c}", flush=True)
+            out = os.path.join(trace_dir, "op_table.json")
+            import json
+            with open(out, "w") as f:
+                json.dump({nm: {"ms": ps / 1e9, "n": cnt[nm]} for nm, ps in inner.items()}, f)
+            print(f"full table -> {out}", flush=True)
 
 
 if __name__ == "__main__":

@@ -140,8 +140,18 @@ class VisionTransformer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, images):
-        """images: (B, H, W, 3), already preprocessed/normalized."""
+    def __call__(self, images, in_affine=None):
+        """images: (B, H, W, 3), already preprocessed/normalized.
+
+        in_affine: optional per-channel input affine ``(scale(3,), shift(3,))``
+        such that the preprocessed input is ``images * scale + shift``.  The
+        affine is FOLDED into the patch-embedding matmul (per-channel row
+        scaling of the kernel plus a constant token bias) instead of being
+        materialized as (B, H, W, 3) elementwise passes — the range-stretch +
+        standardize of the reference preprocessing (slip.py:21-42, 173-186)
+        then costs two weight-space ops per call instead of two full-batch
+        HBM read/write passes forward and two more in the backward.
+        """
         cfg = self.config
         timm_style = cfg.vision_style == "timm"
         p = cfg.vision_patch_size
@@ -160,7 +170,20 @@ class VisionTransformer(nn.Module):
             nn.initializers.lecun_normal(),
             (p * p * 3, width),
         )
-        x = jnp.dot(x, patch_kernel.astype(self.dtype), preferred_element_type=jnp.float32).astype(self.dtype)
+        aff_bias = None
+        if in_affine is not None:
+            scale, shift = in_affine
+            # the (p, p, 3) patch flattens channel-fastest: tile the 3-vectors
+            scale_rows = jnp.tile(scale.astype(jnp.float32), p * p)  # (p*p*3,)
+            shift_rows = jnp.tile(shift.astype(jnp.float32), p * p)
+            kernel_eff = (patch_kernel * scale_rows[:, None]).astype(self.dtype)
+            aff_bias = jnp.dot(shift_rows, patch_kernel)  # (width,) f32
+        else:
+            kernel_eff = patch_kernel.astype(self.dtype)
+        x = jnp.dot(x, kernel_eff, preferred_element_type=jnp.float32)
+        if aff_bias is not None:
+            x = x + aff_bias[None, None, :]
+        x = x.astype(self.dtype)
         if timm_style:  # timm patch conv carries a bias; OpenAI's does not
             x = x + self.param("patch_bias", nn.initializers.zeros, (width,)).astype(self.dtype)
 
@@ -323,7 +346,14 @@ class CLIP(nn.Module):
             self.visual = ModifiedResNet(self.config, dtype=self.dtype)
         self.text = TextTransformer(self.config, dtype=self.dtype)
 
-    def encode_image(self, images):
+    def encode_image(self, images, in_affine=None):
+        if in_affine is not None and self.config.vision_kind != "vit":
+            # ResNet towers start with strided convs; materialize the affine
+            scale, shift = in_affine
+            images = images.astype(jnp.float32) * scale + shift
+            in_affine = None
+        if in_affine is not None:
+            return self.visual(images, in_affine)
         return self.visual(images)
 
     def encode_text(self, tokens):

@@ -205,11 +205,38 @@ class Perceptor:
             imgs = jax.image.resize(imgs, (imgs.shape[0], r, r, 3), method="bilinear")
         return (imgs - self.mean) / self.std
 
+    def preprocess_affine(self, imgs):
+        """Like :meth:`preprocess`, but defers the elementwise math.
+
+        Returns ``(imgs_resized, (scale, shift))`` with
+        ``imgs_resized * scale + shift == preprocess(imgs)``: the batch
+        range-stretch (slip.py:21-42) and the per-channel standardize are
+        jointly a per-channel affine whose coefficients need only the batch
+        min/max — the encode folds it into the patch-embedding matmul
+        (model.py VisionTransformer) instead of paying full-batch
+        elementwise passes.  Bilinear resize commutes with the affine
+        exactly (linear, weights sum to 1), so resizing the raw batch first
+        is equivalent.
+        """
+        minv = jnp.min(imgs).astype(jnp.float32)
+        maxv = jnp.max(imgs).astype(jnp.float32) - minv
+        a = jnp.where(maxv != 0, 1.0 / jnp.where(maxv != 0, maxv, 1.0), 1.0)
+        scale = a / self.std  # (3,)
+        shift = (-minv * a - self.mean) / self.std
+        r = self.input_resolution
+        if imgs.shape[1] != r or imgs.shape[2] != r:
+            imgs = jax.image.resize(imgs, (imgs.shape[0], r, r, 3), method="bilinear")
+        return imgs, (scale, shift)
+
     def image_fn(self, variables, imgs, apply_preprocess=True):
         """PURE: (N, H, W, 3) float [0,1] → (N, output_dim) L2-normalized embeddings."""
         if apply_preprocess:
-            imgs = self.preprocess(imgs)
-        embeds = self.model.apply(variables, imgs, method=self.model.encode_image)
+            imgs, aff = self.preprocess_affine(imgs)
+            embeds = self.model.apply(
+                variables, imgs, aff, method=self.model.encode_image
+            )
+        else:
+            embeds = self.model.apply(variables, imgs, method=self.model.encode_image)
         return l2_normalize(embeds.astype(jnp.float32), axis=-1)
 
     def encode_image(self, imgs, apply_preprocess=True):

@@ -18,10 +18,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Bump when the saved-state layout changes; restore refuses other versions.
+SCHEMA_VERSION = 2
+
+
+def _repo_version() -> str:
+    try:
+        import pixray_tpu
+
+        return getattr(pixray_tpu, "__version__", "unknown")
+    except Exception:
+        return "unknown"
+
 
 def save_session(path: str, engine) -> None:
     """Persist the engine's resumable state to ``path``."""
     state = {
+        "schema_version": SCHEMA_VERSION,
+        "jax_version": jax.__version__,
+        "repo_version": _repo_version(),
+        "drawer": type(engine.drawer).__name__,
         "z_leaves": [np.asarray(x) for x in jax.tree_util.tree_leaves(engine.z)],
         "opt_leaves": [np.asarray(x) for x in jax.tree_util.tree_leaves(engine.opt_state)],
         "key": np.asarray(engine.key),
@@ -46,6 +62,22 @@ def restore_session(path: str, engine) -> int:
     the same configuration; returns the resumed iteration."""
     with open(path, "rb") as f:
         state = pickle.load(f)
+
+    got = state.get("schema_version")
+    if got != SCHEMA_VERSION:
+        raise ValueError(
+            f"checkpoint schema mismatch: file has version {got!r} "
+            f"(saved by repo {state.get('repo_version', '?')}, jax "
+            f"{state.get('jax_version', '?')}), this build expects "
+            f"{SCHEMA_VERSION}. Re-render or convert the session."
+        )
+    want_drawer = type(engine.drawer).__name__
+    if state.get("drawer", want_drawer) != want_drawer:
+        raise ValueError(
+            f"checkpoint was saved with drawer {state['drawer']!r} but the "
+            f"engine is configured with {want_drawer!r} — restore with the "
+            "same --drawer."
+        )
 
     z_def = jax.tree_util.tree_structure(engine.z)
     opt_def = jax.tree_util.tree_structure(engine.opt_state)

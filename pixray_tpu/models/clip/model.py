@@ -141,7 +141,9 @@ class VisionTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, images, in_affine=None):
-        """images: (B, H, W, 3), already preprocessed/normalized.
+        """images: (B, H, W, 3) — preprocessed/normalized when ``in_affine`` is
+        None; raw resized [0,1] images with the preprocessing affine supplied
+        via ``in_affine`` otherwise.
 
         in_affine: optional per-channel input affine ``(scale(3,), shift(3,))``
         such that the preprocessed input is ``images * scale + shift``.  The

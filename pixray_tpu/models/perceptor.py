@@ -33,13 +33,26 @@ from .clip.model import CLIP
 from .clip.tokenizer import tokenize
 
 
+def adjust_range_affine(img, out_lo=0.0, out_hi=1.0):
+    """Coefficients ``(a, b)`` with ``img * a + b == adjust_range(img, ...)``.
+
+    Single source of truth for the batch range-stretch (slip.py:21-42) —
+    both the materialized path (:func:`adjust_range`) and the deferred path
+    (:meth:`Perceptor.preprocess_affine`) derive from this so they cannot
+    diverge.
+    """
+    minv = jnp.min(img).astype(jnp.float32)
+    span = jnp.max(img).astype(jnp.float32) - minv
+    inv = jnp.where(span != 0, 1.0 / jnp.where(span != 0, span, 1.0), 1.0)
+    a = inv * (out_hi - out_lo)
+    b = -minv * inv * (out_hi - out_lo) + out_lo
+    return a, b
+
+
 def adjust_range(img, out_lo=0.0, out_hi=1.0):
     """Stretch a batch to [out_lo, out_hi] by its global min/max (slip.py:21-42)."""
-    minv = jnp.min(img)
-    maxv = jnp.max(img) - minv
-    img = img - minv
-    img = jnp.where(maxv != 0, img / maxv, img)
-    return img * (out_hi - out_lo) + out_lo
+    a, b = adjust_range_affine(img, out_lo, out_hi)
+    return img * a + b
 
 
 _CKPT_ALIASES = {
@@ -218,11 +231,9 @@ class Perceptor:
         exactly (linear, weights sum to 1), so resizing the raw batch first
         is equivalent.
         """
-        minv = jnp.min(imgs).astype(jnp.float32)
-        maxv = jnp.max(imgs).astype(jnp.float32) - minv
-        a = jnp.where(maxv != 0, 1.0 / jnp.where(maxv != 0, maxv, 1.0), 1.0)
+        a, b = adjust_range_affine(imgs)
         scale = a / self.std  # (3,)
-        shift = (-minv * a - self.mean) / self.std
+        shift = (b - self.mean) / self.std
         r = self.input_resolution
         if imgs.shape[1] != r or imgs.shape[2] != r:
             imgs = jax.image.resize(imgs, (imgs.shape[0], r, r, 3), method="bilinear")

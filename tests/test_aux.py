@@ -39,6 +39,60 @@ class TestCheckpointResume:
         assert it == 2
         np.testing.assert_array_equal(np.asarray(engine2.z), z_saved)
 
+    def test_cross_mode_blocked_save_single_resume(self, tmp_path):
+        """Save under blocked dispatch, resume with single-step dispatch."""
+        from pixray_tpu.engine.checkpoint import restore_session, save_session
+
+        pixray.reset_settings()
+        pixray.add_settings(**tiny_settings(tmp_path, iterations=8, steps_per_call=4))
+        engine = pixray.do_init(pixray.apply_settings())
+        for i in range(4):
+            engine.train(i)
+        engine.cur_iteration = 4
+        ckpt = str(tmp_path / "cross.ckpt")
+        save_session(ckpt, engine)
+        z_saved = np.asarray(engine.z).copy()
+
+        pixray.reset_settings()
+        pixray.add_settings(**tiny_settings(tmp_path, iterations=8, steps_per_call=1))
+        engine2 = pixray.do_init(pixray.apply_settings())
+        it = restore_session(ckpt, engine2)
+        assert it == 4
+        np.testing.assert_array_equal(np.asarray(engine2.z), z_saved)
+        engine2.train(4)  # one single-step dispatch on restored state
+        assert not np.array_equal(np.asarray(engine2.z), z_saved)
+
+    def test_schema_and_drawer_validation(self, tmp_path):
+        import pickle
+
+        from pixray_tpu.engine import checkpoint as ckpt_mod
+        from pixray_tpu.engine.checkpoint import restore_session, save_session
+
+        pixray.reset_settings()
+        pixray.add_settings(**tiny_settings(tmp_path, iterations=4))
+        engine = pixray.do_init(pixray.apply_settings())
+        path = str(tmp_path / "v.ckpt")
+        save_session(path, engine)
+
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        assert state["schema_version"] == ckpt_mod.SCHEMA_VERSION
+        assert state["jax_version"]
+        assert state["drawer"] == type(engine.drawer).__name__
+
+        state["schema_version"] = -1
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
+        with pytest.raises(ValueError, match="schema mismatch"):
+            restore_session(path, engine)
+
+        state["schema_version"] = ckpt_mod.SCHEMA_VERSION
+        state["drawer"] = "SomethingElse"
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
+        with pytest.raises(ValueError, match="drawer"):
+            restore_session(path, engine)
+
     def test_checkpoint_every_setting(self, tmp_path):
         pixray.reset_settings()
         pixray.add_settings(**tiny_settings(tmp_path, checkpoint_every="2i", iterations=4))

@@ -13,6 +13,7 @@ the ``clip`` pip package (/root/reference/slip.py:173-186).  Design notes:
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import flax.linen as nn
@@ -24,6 +25,36 @@ from .configs import CLIPConfig
 
 def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _patchify(x, gh, gw, p):
+    """(B, gh*p, gw*p, 3) -> (B, gh*gw, p*p*3) patch extraction.
+
+    custom_vjp so the BACKWARD's inverse reshape/transpose runs at the input's
+    dtype: the patch-embedding dot keeps preferred_element_type=f32, so its
+    transpose emits an f32 cotangent — without the cast here the whole bwd
+    patchify relayout (the profiled f32[B,gh,gw,p,p,3] copies) pays double
+    the bytes of the bf16 forward for gradient bits the bf16 warp backward
+    discards anyway."""
+    b = x.shape[0]
+    xp = x.reshape(b, gh, p, gw, p, 3).transpose(0, 1, 3, 2, 4, 5)
+    return xp.reshape(b, gh * gw, p * p * 3)
+
+
+def _patchify_fwd(x, gh, gw, p):
+    # zero-size token just to carry the primal dtype through the residuals
+    return _patchify(x, gh, gw, p), jnp.zeros((0,), x.dtype)
+
+
+def _patchify_bwd(gh, gw, p, res, g):
+    b = g.shape[0]
+    g = g.astype(res.dtype)
+    gx = g.reshape(b, gh, gw, p, p, 3).transpose(0, 1, 3, 2, 4, 5)
+    return (gx.reshape(b, gh * p, gw * p, 3),)
+
+
+_patchify.defvjp(_patchify_fwd, _patchify_bwd)
 
 
 class LayerNorm(nn.Module):
@@ -165,8 +196,7 @@ class VisionTransformer(nn.Module):
         # Cast BEFORE the patchify reshape/transpose: the cast commutes with
         # layout ops exactly, and the transpose's device copies run at half
         # the bytes in bf16 (profiled ~2-3 ms/step of f32 layout copies here).
-        x = images.astype(self.dtype).reshape(b, gh, p, gw, p, 3).transpose(0, 1, 3, 2, 4, 5)
-        x = x.reshape(b, gh * gw, p * p * 3)
+        x = _patchify(images.astype(self.dtype), gh, gw, p)
         patch_kernel = self.param(
             "patch_embedding",
             nn.initializers.lecun_normal(),

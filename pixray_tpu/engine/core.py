@@ -271,9 +271,25 @@ class Engine:
                 self.loss_globals.update(loss_obj.add_globals(args))
 
         # ---- step config
+        from pixray_tpu.parallel.ensemble import ensemble_active
+
+        use_ensemble = ensemble_active(self.mesh, len(self.perceptors))
         specs = []
         for p in self.perceptors:
             keep_on, keep_off = spot_keeps.get(p.name, (None, None))
+            # channel-major cutout fast lane: ViT towers consume the warp
+            # kernel's native (N, C, S, S) bank through a plane-form epilogue
+            # and channel-major patchify (no full-bank relayouts); ResNet
+            # towers and the ensemble placement path stay channels-last.
+            layout = (
+                "nchw"
+                if (
+                    not use_ensemble
+                    and getattr(p.config, "vision_kind", None) == "vit"
+                    and os.environ.get("PIXRAY_TPU_NCHW", "1") == "1"
+                )
+                else "nhwc"
+            )
             specs.append(
                 PerceptorSpec(
                     name=p.name,
@@ -289,11 +305,9 @@ class Engine:
                     spot_keep_off=keep_off,
                     image_prompts=image_prompt_arrays.get(p.name),
                     image_prompt_weight=args.image_prompt_weight,
+                    layout=layout,
                 )
             )
-        from pixray_tpu.parallel.ensemble import ensemble_active
-
-        use_ensemble = ensemble_active(self.mesh, len(self.perceptors))
         if use_ensemble:
             m = dict(self.mesh.shape)["model"]
             print(

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import os
 
 from pixray_tpu.ops import warp as W
-from pixray_tpu.ops.color import random_color_jitter
+from pixray_tpu.ops.color import random_color_jitter, random_color_jitter_nchw
 from pixray_tpu.ops.pool import adaptive_avg_pool, adaptive_max_pool
 from pixray_tpu.ops.warp_batch import warp_batch as _xla_warp_batch
 from pixray_tpu.ops.warp_batch import warp_batch_modes as _xla_warp_batch_modes
@@ -284,8 +284,9 @@ def render_cutouts(
     noise_key,
     jitter_key=None,
     compute_dtype=None,
+    layout="nhwc",
 ):
-    """Produce the (N, S, S, 3) cutout batch from the pooled working canvas.
+    """Produce the cutout batch from the pooled working canvas.
 
     reflect_padding: traced bool — True → 'reflection', False → 'border' padding for
     the zoom branch (iteration-parity alternation, pixray.py:1250-1253).
@@ -296,9 +297,15 @@ def render_cutouts(
     the engine passes bfloat16 when the step's target devices are accelerators
     (the cutouts feed a bf16 perceptor anyway and these passes are
     bandwidth-bound); None keeps float32.
+    layout: 'nhwc' returns (N, S, S, 3) float32 (the reference-shaped batch);
+    'nchw' returns (N, 3, S, S) in compute_dtype — the warp kernel's NATIVE
+    channel-major layout carried straight through a plane-form epilogue into
+    the perceptor's channel-major patchify, skipping the two full-bank
+    relayout passes and the f32 round-trips of the channels-last path.
     """
     zoom_ms, wide_ms = transforms
     nz, nw = zoom_ms.shape[0], wide_ms.shape[0]
+    nchw = layout == "nchw"
 
     if os.environ.get("PIXRAY_TPU_UNIFIED_WARP", "1") != "0":
         # one mixed-mode bank warp: zoom cuts pad by iteration parity
@@ -327,7 +334,8 @@ def render_cutouts(
             )
             parts.append(
                 warp_batch_modes(
-                    work, ms, modes, cut_size, fill_value=fill_color, fill_mask=fill_mask
+                    work, ms, modes, cut_size, fill_value=fill_color,
+                    fill_mask=fill_mask, out_layout=layout,
                 )
             )
         if n_zs or n_ws:
@@ -346,7 +354,7 @@ def render_cutouts(
             parts.append(
                 warp_batch_separable(
                     work, ms_s, modes_s, cut_size, fill_value=fill_color,
-                    fill_mask=fill_mask_s,
+                    fill_mask=fill_mask_s, out_layout=layout,
                 )
             )
         batch = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
@@ -359,7 +367,11 @@ def render_cutouts(
         # iteration 2 on TPU.  The barrier makes the unified path bitwise-match
         # the per-mode epilogue (tools/exp7_fwd_banks.py: uni+barrier == perm
         # exactly); the bank is already materialized as the kernel's output, so
-        # this costs nothing.
+        # this costs nothing.  The barrier sits right AFTER the compute-dtype
+        # rounding so the pinned values are the bf16 ones whose exact gray
+        # ties the jitter gradient depends on.
+        if compute_dtype is not None:
+            batch = batch.astype(compute_dtype)
         batch = jax.lax.optimization_barrier(batch)
     else:
         parts = []
@@ -377,15 +389,19 @@ def render_cutouts(
                 warp_batch(work, wide_ms, cut_size, padding_mode="fill", fill_value=fill_color)
             )
         batch = jnp.concatenate(parts, axis=0)
-
-    if compute_dtype is not None:
-        batch = batch.astype(compute_dtype)
+        if nchw:  # legacy per-mode kernels are channels-last only
+            batch = batch.transpose(0, 3, 1, 2)
+        if compute_dtype is not None:
+            batch = batch.astype(compute_dtype)
 
     if jitter_key is not None:
         keys = jax.random.split(jitter_key, batch.shape[0])
-        batch = jax.vmap(partial(random_color_jitter, hue=0.1, saturation=0.1, p=0.8))(
-            keys, batch
-        )
+        if nchw:
+            batch = random_color_jitter_nchw(keys, batch, hue=0.1, saturation=0.1, p=0.8)
+        else:
+            batch = jax.vmap(partial(random_color_jitter, hue=0.1, saturation=0.1, p=0.8))(
+                keys, batch
+            )
 
     if NOISE_FAC:
         k_fac, k_noise = jax.random.split(noise_key)
@@ -393,7 +409,9 @@ def render_cutouts(
             k_fac, (batch.shape[0], 1, 1, 1), maxval=NOISE_FAC, dtype=batch.dtype
         )
         batch = batch + facs * jax.random.normal(k_noise, batch.shape, dtype=batch.dtype)
-    return batch.astype(jnp.float32)
+    # channel-major banks stay in compute dtype for the perceptor (which
+    # computes in bf16 anyway); the channels-last path keeps its f32 contract
+    return batch if nchw else batch.astype(jnp.float32)
 
 
 def make_cutouts(
@@ -406,6 +424,7 @@ def make_cutouts(
     reflect_padding,
     fill_color,
     spot_mask=None,
+    layout="nhwc",
 ):
     """One-call convenience: pool, sample transforms, render. Returns (batch, transforms)."""
     k_t, k_jit, k_noise = jax.random.split(key, 3)
@@ -421,5 +440,6 @@ def make_cutouts(
         fill_color=fill_color,
         noise_key=k_noise,
         jitter_key=k_jit,
+        layout=layout,
     )
     return batch, transforms

@@ -56,6 +56,11 @@ class PerceptorSpec:
     # adjust_range couples the whole batch via global min/max (slip.py:21-42);
     # image_fn is then called with apply_preprocess=False on the chunks
     preprocess_fn: Callable | None = None
+    # cutout-bank layout fed to this perceptor: 'nhwc' (reference-shaped) or
+    # 'nchw' — the warp kernel's native channel-major layout, kept end-to-end
+    # through the epilogue into the ViT's channel-major patchify (engine/core
+    # enables it for ViT towers; see cutouts.render_cutouts)
+    layout: str = "nhwc"
 
 
 @dataclass
@@ -282,6 +287,10 @@ def build_loss_fn(cfg: StepConfig, names_sink: list | None = None):
             work = C.pool_to_work(img, spec.cut_size, cfg.aspect)
             transforms = C.sample_cut_transforms(k_t, spec.cut_size, cfg.num_cuts, cfg.aspect)
 
+            df = "NCHW" if spec.layout == "nchw" else "NHWC"
+            encode = partial(
+                spec.image_fn, refs["perceptors"][spec.name], data_format=df
+            )
             render = partial(
                 C.render_cutouts,
                 transforms=transforms,
@@ -289,12 +298,19 @@ def build_loss_fn(cfg: StepConfig, names_sink: list | None = None):
                 reflect_padding=reflect_padding,
                 fill_color=fill_color,
                 compute_dtype=cfg.compute_dtype,
+                layout=spec.layout,
             )
 
             main = render(work, noise_key=k_noise, jitter_key=k_jit)
             main = shard_cutout_batch(main, cfg.mesh)
-            cur_cutouts[spec.cut_size] = main
-            iii = spec.image_fn(refs["perceptors"][spec.name], main)
+            # custom losses consume cur_cutouts channels-last (the reference's
+            # cutouts dict shape); convert lazily — only when one exists
+            cur_cutouts[spec.cut_size] = (
+                main.transpose(0, 2, 3, 1).astype(jnp.float32)
+                if (spec.layout == "nchw" and cfg.custom_losses)
+                else main
+            )
+            iii = encode(main)
             embeds_last = iii
 
             pl = prompt_losses(iii, spec.table)
@@ -311,14 +327,14 @@ def build_loss_fn(cfg: StepConfig, names_sink: list | None = None):
             if spec.spot_table.size:
                 spot_cuts = render(work * spec.spot_keep_on[..., None], noise_key=k_spot_n)
                 spot_cuts = shard_cutout_batch(spot_cuts, cfg.mesh)
-                iii_s = spec.image_fn(refs["perceptors"][spec.name], spot_cuts)
+                iii_s = encode(spot_cuts)
                 sl = prompt_losses(iii_s, spec.spot_table)
                 for i in range(spec.spot_table.size):
                     add(f"{spec.name}:spot{i}", sl[i])
             if spec.spot_off_table.size:
                 spot_cuts = render(work * spec.spot_keep_off[..., None], noise_key=k_spot_off_n)
                 spot_cuts = shard_cutout_batch(spot_cuts, cfg.mesh)
-                iii_so = spec.image_fn(refs["perceptors"][spec.name], spot_cuts)
+                iii_so = encode(spot_cuts)
                 sl = prompt_losses(iii_so, spec.spot_off_table)
                 for i in range(spec.spot_off_table.size):
                     add(f"{spec.name}:spot_off{i}", sl[i])
@@ -340,9 +356,10 @@ def build_loss_fn(cfg: StepConfig, names_sink: list | None = None):
                         p_work, t, spec.cut_size,
                         reflect_padding=reflect_padding, fill_color=fill_color,
                         noise_key=key_i, compute_dtype=cfg.compute_dtype,
+                        layout=spec.layout,
                     )
                     batch = shard_cutout_batch(batch, cfg.mesh)
-                    embed = spec.image_fn(refs["perceptors"][spec.name], batch)
+                    embed = encode(batch)
                     return single_prompt_loss(iii, embed, weight)
 
                 if anim_mode:

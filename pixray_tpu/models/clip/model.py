@@ -49,12 +49,54 @@ def _patchify_fwd(x, gh, gw, p):
 
 def _patchify_bwd(gh, gw, p, res, g):
     b = g.shape[0]
-    g = g.astype(res.dtype)
+    # barrier: XLA freely commutes converts across reshapes/transposes and was
+    # observed hoisting this cast PAST the whole inverse relayout, running the
+    # (B, gh, gw, p, p, 3) copies in f32 — double the bytes for gradient bits
+    # the bf16 warp backward discards anyway.  Pinning the cast keeps the
+    # relayout at the compute dtype.
+    g = jax.lax.optimization_barrier(g.astype(res.dtype))
     gx = g.reshape(b, gh, gw, p, p, 3).transpose(0, 1, 3, 2, 4, 5)
     return (gx.reshape(b, gh * p, gw * p, 3),)
 
 
 _patchify.defvjp(_patchify_fwd, _patchify_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _patchify_cm(x, gh, gw, p):
+    """(B, 3, gh*p, gw*p) channel-major -> (B, gh*gw, 3*p*p) patch extraction.
+
+    Row order of the patch vector is (c, py, px) — channel SLOWEST — so the
+    patch-embedding kernel's rows must be permuted to match (see
+    ``_kernel_cm``).  This is the fast lane for the engine's channel-major
+    cutout banks: the bank arrives in the warp kernel's native (N, C, H, W)
+    layout and is patchified with ONE relayout, instead of the NHWC path's
+    bank transpose + patch transpose."""
+    b = x.shape[0]
+    xp = x.reshape(b, 3, gh, p, gw, p).transpose(0, 2, 4, 1, 3, 5)
+    return xp.reshape(b, gh * gw, 3 * p * p)
+
+
+def _patchify_cm_fwd(x, gh, gw, p):
+    return _patchify_cm(x, gh, gw, p), jnp.zeros((0,), x.dtype)
+
+
+def _patchify_cm_bwd(gh, gw, p, res, g):
+    b = g.shape[0]
+    g = jax.lax.optimization_barrier(g.astype(res.dtype))
+    gx = g.reshape(b, gh, gw, 3, p, p).transpose(0, 3, 1, 4, 2, 5)
+    return (gx.reshape(b, 3, gh * p, gw * p),)
+
+
+_patchify_cm.defvjp(_patchify_cm_fwd, _patchify_cm_bwd)
+
+
+def _kernel_rows_cm(kernel, p):
+    """Permute (p*p*3, width) patch-kernel rows from (py, px, c) order
+    (channels-fastest, the NHWC patch flattening) to (c, py, px) order
+    (channel-major patches).  Static weight-space op — free at step time."""
+    width = kernel.shape[-1]
+    return kernel.reshape(p, p, 3, width).transpose(2, 0, 1, 3).reshape(3 * p * p, width)
 
 
 class LayerNorm(nn.Module):
@@ -171,8 +213,11 @@ class VisionTransformer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, images, in_affine=None):
-        """images: (B, H, W, 3) — preprocessed/normalized when ``in_affine`` is
+    def __call__(self, images, in_affine=None, data_format="NHWC"):
+        """images: (B, H, W, 3) — or (B, 3, H, W) with ``data_format='NCHW'``,
+        the engine's channel-major cutout-bank fast lane (channel-major
+        patchify + permuted kernel rows; identical math, one less full-bank
+        relayout each pass).  Preprocessed/normalized when ``in_affine`` is
         None; raw resized [0,1] images with the preprocessing affine supplied
         via ``in_affine`` otherwise.
 
@@ -189,14 +234,21 @@ class VisionTransformer(nn.Module):
         timm_style = cfg.vision_style == "timm"
         p = cfg.vision_patch_size
         width = cfg.vision_width
-        b, hgt, wdt, _ = images.shape
+        nchw = data_format == "NCHW"
+        if nchw:
+            b, _, hgt, wdt = images.shape
+        else:
+            b, hgt, wdt, _ = images.shape
         gh, gw = hgt // p, wdt // p
 
         # patch embedding as one matmul: (B, gh, gw, p*p*3) @ (p*p*3, width).
         # Cast BEFORE the patchify reshape/transpose: the cast commutes with
         # layout ops exactly, and the transpose's device copies run at half
         # the bytes in bf16 (profiled ~2-3 ms/step of f32 layout copies here).
-        x = _patchify(images.astype(self.dtype), gh, gw, p)
+        if nchw:
+            x = _patchify_cm(images.astype(self.dtype), gh, gw, p)
+        else:
+            x = _patchify(images.astype(self.dtype), gh, gw, p)
         patch_kernel = self.param(
             "patch_embedding",
             nn.initializers.lecun_normal(),
@@ -206,12 +258,18 @@ class VisionTransformer(nn.Module):
         if in_affine is not None:
             scale, shift = in_affine
             # the (p, p, 3) patch flattens channel-fastest: tile the 3-vectors
-            scale_rows = jnp.tile(scale.astype(jnp.float32), p * p)  # (p*p*3,)
+            # (repeat for the channel-major row order instead)
+            if nchw:
+                scale_rows = jnp.repeat(scale.astype(jnp.float32), p * p)
+            else:
+                scale_rows = jnp.tile(scale.astype(jnp.float32), p * p)  # (p*p*3,)
             shift_rows = jnp.tile(shift.astype(jnp.float32), p * p)
-            kernel_eff = (patch_kernel * scale_rows[:, None]).astype(self.dtype)
+            kernel_base = _kernel_rows_cm(patch_kernel, p) if nchw else patch_kernel
+            kernel_eff = (kernel_base * scale_rows[:, None]).astype(self.dtype)
             aff_bias = jnp.dot(shift_rows, patch_kernel)  # (width,) f32
         else:
-            kernel_eff = patch_kernel.astype(self.dtype)
+            kernel_base = _kernel_rows_cm(patch_kernel, p) if nchw else patch_kernel
+            kernel_eff = kernel_base.astype(self.dtype)
         x = jnp.dot(x, kernel_eff, preferred_element_type=jnp.float32)
         if aff_bias is not None:
             x = x + aff_bias[None, None, :]
@@ -378,15 +436,18 @@ class CLIP(nn.Module):
             self.visual = ModifiedResNet(self.config, dtype=self.dtype)
         self.text = TextTransformer(self.config, dtype=self.dtype)
 
-    def encode_image(self, images, in_affine=None):
-        if in_affine is not None and self.config.vision_kind != "vit":
-            # ResNet towers start with strided convs; materialize the affine
-            scale, shift = in_affine
-            images = images.astype(jnp.float32) * scale + shift
-            in_affine = None
+    def encode_image(self, images, in_affine=None, data_format="NHWC"):
+        if self.config.vision_kind != "vit":
+            if data_format == "NCHW":  # ResNet towers are NHWC (conv layouts)
+                images = images.transpose(0, 2, 3, 1)
+            if in_affine is not None:
+                # ResNet towers start with strided convs; materialize the affine
+                scale, shift = in_affine
+                images = images.astype(jnp.float32) * scale + shift
+            return self.visual(images)
         if in_affine is not None:
-            return self.visual(images, in_affine)
-        return self.visual(images)
+            return self.visual(images, in_affine, data_format)
+        return self.visual(images, data_format=data_format)
 
     def encode_text(self, tokens):
         return self.text(tokens)

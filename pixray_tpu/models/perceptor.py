@@ -218,7 +218,7 @@ class Perceptor:
             imgs = jax.image.resize(imgs, (imgs.shape[0], r, r, 3), method="bilinear")
         return (imgs - self.mean) / self.std
 
-    def preprocess_affine(self, imgs):
+    def preprocess_affine(self, imgs, data_format="NHWC"):
         """Like :meth:`preprocess`, but defers the elementwise math.
 
         Returns ``(imgs_resized, (scale, shift))`` with
@@ -235,19 +235,28 @@ class Perceptor:
         scale = a / self.std  # (3,)
         shift = (b - self.mean) / self.std
         r = self.input_resolution
-        if imgs.shape[1] != r or imgs.shape[2] != r:
+        if data_format == "NCHW":
+            if imgs.shape[2] != r or imgs.shape[3] != r:
+                imgs = jax.image.resize(
+                    imgs, (imgs.shape[0], imgs.shape[1], r, r), method="bilinear"
+                )
+        elif imgs.shape[1] != r or imgs.shape[2] != r:
             imgs = jax.image.resize(imgs, (imgs.shape[0], r, r, 3), method="bilinear")
         return imgs, (scale, shift)
 
-    def image_fn(self, variables, imgs, apply_preprocess=True):
-        """PURE: (N, H, W, 3) float [0,1] → (N, output_dim) L2-normalized embeddings."""
+    def image_fn(self, variables, imgs, apply_preprocess=True, data_format="NHWC"):
+        """PURE: (N, H, W, 3) float [0,1] — or (N, 3, H, W) channel-major with
+        ``data_format='NCHW'`` — → (N, output_dim) L2-normalized embeddings."""
         if apply_preprocess:
-            imgs, aff = self.preprocess_affine(imgs)
+            imgs, aff = self.preprocess_affine(imgs, data_format)
             embeds = self.model.apply(
-                variables, imgs, aff, method=self.model.encode_image
+                variables, imgs, aff, data_format, method=self.model.encode_image
             )
         else:
-            embeds = self.model.apply(variables, imgs, method=self.model.encode_image)
+            embeds = self.model.apply(
+                variables, imgs, data_format=data_format,
+                method=self.model.encode_image,
+            )
         return l2_normalize(embeds.astype(jnp.float32), axis=-1)
 
     def encode_image(self, imgs, apply_preprocess=True):

@@ -373,16 +373,20 @@ def _run_bwd(g, inv_matrices, work_shape, out_size, padding_mode, interpret,
 
 N_CHUNK = int(os.environ.get("PIXRAY_TPU_WARP_NCHUNK", "8"))
 
-MODE_REFLECT, MODE_BORDER, MODE_ZEROS = 0, 1, 2
+# padding modes.  MODE_FILL is zeros-padding PLUS the closed-form coverage
+# composite toward a traced fill value (the reference's random-gray wide-cut
+# fill) computed INSIDE the kernel — it costs a handful of VPU ops per tile and
+# removes the full-bank elementwise fill pass the engine used to run outside.
+MODE_REFLECT, MODE_BORDER, MODE_ZEROS, MODE_FILL = 0, 1, 2, 3
 
 
 def _select_padded(sx, sy, mode, h, w):
     """Per-cut padding-mode coordinate transform.
 
-    ``mode`` is a traced f32 scalar (0=reflection, 1=border, 2=zeros) carried
-    in the 4th row of the augmented matrix block — Mosaic's SMEM block-shape
-    rules reject a separate (n_chunk, 1) modes block, so the mode rides with
-    the homography."""
+    ``mode`` is a traced f32 scalar (0=reflection, 1=border, 2=zeros/fill)
+    carried in the 4th row of the augmented matrix block — Mosaic's SMEM
+    block-shape rules reject a separate (n_chunk, 1) modes block, so the mode
+    rides with the homography."""
     def refl(x, size):
         span = 2.0 * size
         x = jnp.mod(x + 0.5, span)
@@ -396,13 +400,14 @@ def _select_padded(sx, sy, mode, h, w):
     return sx_p, sy_p
 
 
-def _chunk_coords(inv_ref, s, kt, k_tile, out_size, h, w, row=False):
+def _chunk_coords(inv_ref, s, kt, k_tile, out_size, h, w, row=False, with_raw=False):
     """Padded source coords for chunk member ``s`` of this tile.
 
     inv_ref: (n_chunk, 4, 3) SMEM — rows 0-2 the inverse homography, row 3
-    carries (mode, 0, 0).  ``row=True`` lays the k_tile axis along LANES
+    carries (mode, 0, fill).  ``row=True`` lays the k_tile axis along LANES
     ((1, k_tile) row vectors) for the transposed forward kernel; the default
-    column layout ((k_tile, 1)) serves the row-major kernels."""
+    column layout ((k_tile, 1)) serves the row-major kernels.  ``with_raw``
+    additionally returns the pre-padding coords (for the fill coverage)."""
     k0 = kt * k_tile
     if row:
         k = k0 + jax.lax.broadcasted_iota(jnp.int32, (1, k_tile), 1)
@@ -422,15 +427,39 @@ def _chunk_coords(inv_ref, s, kt, k_tile, out_size, h, w, row=False):
     denom = m20 * j + m21 * i + m22 + 1e-8
     sx = (m00 * j + m01 * i + m02) / denom
     sy = (m10 * j + m11 * i + m12) / denom
-    return _select_padded(sx, sy, inv_ref[s, 3, 0], h, w)
+    sx_p, sy_p = _select_padded(sx, sy, inv_ref[s, 3, 0], h, w)
+    if with_raw:
+        return sx_p, sy_p, sx, sy
+    return sx_p, sy_p
 
 
-def _augment_inv(inv, modes):
-    """(N,3,3) inverse matrices + (N,) modes -> (N,4,3) with mode in row 3."""
-    mode_row = jnp.stack(
-        [modes.astype(jnp.float32), jnp.zeros_like(modes, jnp.float32),
-         jnp.zeros_like(modes, jnp.float32)], axis=-1
-    )[:, None, :]
+def _fill_term(inv_ref, s, sx_raw, sy_raw, h, w):
+    """In-kernel fill composite: ``(1-cover)*fill_pre`` for MODE_FILL cuts.
+
+    cover is the closed-form bilinear coverage of the canvas at the RAW source
+    coordinate (the sum of in-bounds hat weights: 1 in the interior, ramping to
+    0 across the one-pixel border band) — warping a ones-canvas in two VPU ops.
+    Zero for every other mode; the warp output is already zero wherever
+    cover==0 (all hats vanish), so adding this term reproduces the engine's
+    random-gray wide-cut fill exactly with no full-bank pass outside."""
+    mode = inv_ref[s, 3, 0]
+    fillp = inv_ref[s, 3, 2]
+    cx = jnp.clip(jnp.minimum(sx_raw + 1.0, w - sx_raw), 0.0, 1.0)
+    cy = jnp.clip(jnp.minimum(sy_raw + 1.0, h - sy_raw), 0.0, 1.0)
+    return jnp.where(mode >= 2.5, (1.0 - cx * cy) * fillp, 0.0)
+
+
+def _augment_inv(inv, modes, fill=None):
+    """(N,3,3) inverse matrices + (N,) modes -> (N,4,3): row 3 = (mode, 0, fill).
+
+    ``fill`` is the traced fill value for MODE_FILL cuts (pre-divided by the
+    int8 dequant scale when the forward runs the int8 MXU path, so the single
+    post-scale multiply outside the kernel restores it exactly)."""
+    zeros = jnp.zeros_like(modes, jnp.float32)
+    f = zeros if fill is None else jnp.broadcast_to(
+        jnp.asarray(fill, jnp.float32), modes.shape
+    )
+    mode_row = jnp.stack([modes.astype(jnp.float32), zeros, f], axis=-1)[:, None, :]
     return jnp.concatenate([inv, mode_row], axis=1)
 
 
@@ -474,30 +503,33 @@ def _fwd_kernel_multi(inv_ref, work_ref, out_ref, *, k_tile, out_size,
     v = jax.lax.broadcasted_iota(jnp.int32, (k_tile, w), 1).astype(jnp.float32)
     ub0 = jax.lax.broadcasted_iota(jnp.int32, (k_tile, band), 1).astype(jnp.float32) if band else None
     for s in range(n_chunk):
-        sx, sy = _chunk_coords(inv_ref, s, kt, k_tile, out_size, h, w)
+        sx, sy, sx_r, sy_r = _chunk_coords(
+            inv_ref, s, kt, k_tile, out_size, h, w, with_raw=True
+        )
+        fill_add = _fill_term(inv_ref, s, sx_r, sy_r, h, w)[:, 0]  # (T,)
         b = jnp.maximum(0.0, 1.0 - jnp.abs(sx - v))  # (T, W)
         if not band:
             a = jnp.maximum(0.0, 1.0 - jnp.abs(sy - u))  # (T, H)
             for c in range(channels):
                 tmp = _mm(a, work_ref[c].astype(jnp.float32), prec)
-                out_ref[s, c, :] = jnp.sum(tmp * b, axis=1)
+                out_ref[s, c, :] = jnp.sum(tmp * b, axis=1) + fill_add
             continue
         ok, base = _chunk_band_plan(inv_ref, s, kt, k_tile, out_size, h, band)
 
         @pl.when(ok)
-        def _banded(s=s, sx=sx, sy=sy, b=b, base=base):
+        def _banded(s=s, sx=sx, sy=sy, b=b, base=base, fill_add=fill_add):
             ab = jnp.maximum(0.0, 1.0 - jnp.abs(sy - (base.astype(jnp.float32) + ub0)))
             for c in range(channels):
                 wb = work_ref[c, pl.ds(base, band), :].astype(jnp.float32)
                 tmp = _mm(ab, wb, prec)
-                out_ref[s, c, :] = jnp.sum(tmp * b, axis=1)
+                out_ref[s, c, :] = jnp.sum(tmp * b, axis=1) + fill_add
 
         @pl.when(jnp.logical_not(ok))
-        def _full(s=s, sy=sy, b=b):
+        def _full(s=s, sy=sy, b=b, fill_add=fill_add):
             a = jnp.maximum(0.0, 1.0 - jnp.abs(sy - u))
             for c in range(channels):
                 tmp = _mm(a, work_ref[c].astype(jnp.float32), prec)
-                out_ref[s, c, :] = jnp.sum(tmp * b, axis=1)
+                out_ref[s, c, :] = jnp.sum(tmp * b, axis=1) + fill_add
 
 
 def _fwd_kernel_multi_T(inv_ref, work_ref, out_ref, *, k_tile, out_size,
@@ -516,7 +548,10 @@ def _fwd_kernel_multi_T(inv_ref, work_ref, out_ref, *, k_tile, out_size,
     u_col = jax.lax.broadcasted_iota(jnp.int32, (h, k_tile), 0).astype(jnp.float32)
     v_col = jax.lax.broadcasted_iota(jnp.int32, (w, k_tile), 0).astype(jnp.float32)
     for s in range(n_chunk):
-        sx, sy = _chunk_coords(inv_ref, s, kt, k_tile, out_size, h, w, row=True)
+        sx, sy, sx_r, sy_r = _chunk_coords(
+            inv_ref, s, kt, k_tile, out_size, h, w, row=True, with_raw=True
+        )
+        fill_add = _fill_term(inv_ref, s, sx_r, sy_r, h, w)[0]  # (T,)
         a_t = jnp.maximum(0.0, 1.0 - jnp.abs(sy - u_col))  # (H, T)
         b_t = jnp.maximum(0.0, 1.0 - jnp.abs(sx - v_col))  # (W, T)
         if prec == "int8":
@@ -524,18 +559,19 @@ def _fwd_kernel_multi_T(inv_ref, work_ref, out_ref, *, k_tile, out_size,
             # pre-quantized (symmetric, dynamic scale — _run_fwd_multi_T),
             # hats quantize to round(a*127) in-kernel; the combined
             # s_w/127^2 dequant is folded into the output OUTSIDE the kernel
-            # (the warp is linear in work).  Error ~9e-3 on [0,1] canvases —
+            # (the warp is linear in work, and the fill term arrives
+            # pre-divided by that scale).  Error ~9e-3 on [0,1] canvases —
             # an order below the engine's noise_fac=0.1 forward noise.
             a_q = jnp.round(a_t * 127.0).astype(jnp.int8)
             dn = (((1,), (0,)), ((), ()))
             for c in range(channels):
                 tmp_i = jax.lax.dot_general(work_ref[c], a_q, dn,
                                             preferred_element_type=jnp.int32)
-                out_ref[s, c, :] = jnp.sum(tmp_i.astype(jnp.float32) * b_t, axis=0)
+                out_ref[s, c, :] = jnp.sum(tmp_i.astype(jnp.float32) * b_t, axis=0) + fill_add
             continue
         for c in range(channels):
             tmp_t = _mm(work_ref[c].astype(jnp.float32), a_t, prec)  # (W, T)
-            out_ref[s, c, :] = jnp.sum(tmp_t * b_t, axis=0)
+            out_ref[s, c, :] = jnp.sum(tmp_t * b_t, axis=0) + fill_add
 
 
 def _fwd_kernel_multi_TB(inv_ref, work_ref, out_ref, *, k_tile, out_size,
@@ -557,38 +593,69 @@ def _fwd_kernel_multi_TB(inv_ref, work_ref, out_ref, *, k_tile, out_size,
     v_col = jax.lax.broadcasted_iota(jnp.int32, (w, k_tile), 0).astype(jnp.float32)
     ub0 = jax.lax.broadcasted_iota(jnp.int32, (band, k_tile), 0).astype(jnp.float32)
     for s in range(n_chunk):
-        sx, sy = _chunk_coords(inv_ref, s, kt, k_tile, out_size, h, w, row=True)
+        sx, sy, sx_r, sy_r = _chunk_coords(
+            inv_ref, s, kt, k_tile, out_size, h, w, row=True, with_raw=True
+        )
+        fill_add = _fill_term(inv_ref, s, sx_r, sy_r, h, w)[0]  # (T,)
         b_t = jnp.maximum(0.0, 1.0 - jnp.abs(sx - v_col))  # (W, T)
         ok, base = _chunk_band_plan(inv_ref, s, kt, k_tile, out_size, h, band)
 
         @pl.when(ok)
-        def _banded(s=s, sy=sy, b_t=b_t, base=base):
+        def _banded(s=s, sy=sy, b_t=b_t, base=base, fill_add=fill_add):
             ab = jnp.maximum(0.0, 1.0 - jnp.abs(sy - (base.astype(jnp.float32) + ub0)))
             for c in range(channels):
                 wb = work_ref[c, pl.ds(base, band), :]  # (B, W)
                 tmp = _mm_t(wb, ab, prec)  # (W, T)
-                out_ref[s, c, :] = jnp.sum(tmp * b_t, axis=0)
+                out_ref[s, c, :] = jnp.sum(tmp * b_t, axis=0) + fill_add
 
         @pl.when(jnp.logical_not(ok))
-        def _full(s=s, sy=sy, b_t=b_t):
+        def _full(s=s, sy=sy, b_t=b_t, fill_add=fill_add):
             a_t = jnp.maximum(0.0, 1.0 - jnp.abs(sy - u_col))  # (H, T)
             for c in range(channels):
                 tmp = _mm_t(work_ref[c], a_t, prec)  # (W, T)
-                out_ref[s, c, :] = jnp.sum(tmp * b_t, axis=0)
+                out_ref[s, c, :] = jnp.sum(tmp * b_t, axis=0) + fill_add
 
 
-def _run_fwd_multi_TB(work, inv, modes, out_size, interpret, k_tile, prec, n_chunk, band):
+def _pad_bank(inv, modes, n_blocks, n_chunk):
+    pad_n = n_blocks * n_chunk - inv.shape[0]
+    if pad_n:
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=inv.dtype), (pad_n, 3, 3))
+        inv = jnp.concatenate([inv, eye], 0)
+        modes = jnp.concatenate([modes, jnp.full((pad_n,), MODE_ZEROS, modes.dtype)], 0)
+    return inv, modes
+
+
+def _finish_fwd(out, n, k, out_size, c, dtype, out_layout, post_scale=None):
+    """Slice the padded kernel output and lay it out for the consumer.
+
+    'nhwc' restores the reference layout; 'nchw' keeps the kernel's native
+    channel-major layout — the (n, c, K)→(n, K, c) relayout (a full-bank HBM
+    pass each way, fwd and bwd) disappears and the downstream epilogue +
+    channel-major patchify consume it directly."""
+    if post_scale is not None:
+        out = out * post_scale
+    out = out[:n, :, :k]
+    if out_layout == "nchw":
+        return out.reshape(n, c, out_size, out_size).astype(dtype)
+    return out.transpose(0, 2, 1).reshape(n, out_size, out_size, c).astype(dtype)
+
+
+def _g_flat(g, n, k, c, out_layout):
+    """Cotangent to the kernels' (N, C, K) layout (free under 'nchw')."""
+    if out_layout == "nchw":
+        return g.reshape(n, c, k).astype(jnp.float32)
+    return g.reshape(n, k, c).transpose(0, 2, 1).astype(jnp.float32)
+
+
+def _run_fwd_multi_TB(work, inv, modes, fill, out_size, interpret, k_tile, prec,
+                      n_chunk, band, out_layout):
     n = inv.shape[0]
     h, w, c = work.shape
     k = out_size * out_size
     k_tiles = pl.cdiv(k, k_tile)
     n_blocks = pl.cdiv(n, n_chunk)
-    pad_n = n_blocks * n_chunk - n
-    if pad_n:
-        eye = jnp.broadcast_to(jnp.eye(3, dtype=inv.dtype), (pad_n, 3, 3))
-        inv = jnp.concatenate([inv, eye], 0)
-        modes = jnp.concatenate([modes, jnp.full((pad_n,), MODE_ZEROS, modes.dtype)], 0)
-    aug = _augment_inv(inv, modes)
+    inv, modes = _pad_bank(inv, modes, n_blocks, n_chunk)
+    aug = _augment_inv(inv, modes, fill)
     kernel = functools.partial(
         _fwd_kernel_multi_TB, k_tile=k_tile, out_size=out_size, channels=c,
         prec=prec, n_chunk=n_chunk, band=band,
@@ -606,9 +673,7 @@ def _run_fwd_multi_TB(work, inv, modes, out_size, interpret, k_tile, prec, n_chu
         interpret=interpret,
         compiler_params=_compiler_params(),
     )(aug, work_cm)
-    return (
-        out[:n, :, :k].transpose(0, 2, 1).reshape(n, out_size, out_size, c).astype(work.dtype)
-    )
+    return _finish_fwd(out, n, k, out_size, c, work.dtype, out_layout)
 
 
 def _bwd_kernel_multi_TB(inv_ref, g_ref, dwork_ref, *, k_tile, out_size,
@@ -651,21 +716,18 @@ def _bwd_kernel_multi_TB(inv_ref, g_ref, dwork_ref, *, k_tile, out_size,
 
 
 def _run_bwd_multi_TB(g, inv, modes, work_shape, out_size, interpret, k_tile,
-                      prec, n_chunk, band):
+                      prec, n_chunk, band, out_layout):
     n = inv.shape[0]
     h, w, c = work_shape
     k = out_size * out_size
     k_tiles = pl.cdiv(k, k_tile)
     n_blocks = pl.cdiv(n, n_chunk)
     pad_n = n_blocks * n_chunk - n
-    g_flat = g.reshape(n, k, c).transpose(0, 2, 1).astype(jnp.float32)
+    g_flat = _g_flat(g, n, k, c, out_layout)
     pad_k = k_tiles * k_tile - k
     if pad_k or pad_n:
         g_flat = jnp.pad(g_flat, ((0, pad_n), (0, 0), (0, pad_k)))
-    if pad_n:
-        eye = jnp.broadcast_to(jnp.eye(3, dtype=inv.dtype), (pad_n, 3, 3))
-        inv = jnp.concatenate([inv, eye], 0)
-        modes = jnp.concatenate([modes, jnp.full((pad_n,), MODE_ZEROS, modes.dtype)], 0)
+    inv, modes = _pad_bank(inv, modes, n_blocks, n_chunk)
     aug = _augment_inv(inv, modes)
     kernel = functools.partial(
         _bwd_kernel_multi_TB, k_tile=k_tile, out_size=out_size, channels=c,
@@ -686,18 +748,14 @@ def _run_bwd_multi_TB(g, inv, modes, work_shape, out_size, interpret, k_tile,
     return dwork.transpose(1, 2, 0)
 
 
-def _run_fwd_multi_T(work, inv, modes, out_size, interpret, k_tile, prec, n_chunk):
+def _run_fwd_multi_T(work, inv, modes, fill, out_size, interpret, k_tile, prec,
+                     n_chunk, out_layout):
     n = inv.shape[0]
     h, w, c = work.shape
     k = out_size * out_size
     k_tiles = pl.cdiv(k, k_tile)
     n_blocks = pl.cdiv(n, n_chunk)
-    pad_n = n_blocks * n_chunk - n
-    if pad_n:
-        eye = jnp.broadcast_to(jnp.eye(3, dtype=inv.dtype), (pad_n, 3, 3))
-        inv = jnp.concatenate([inv, eye], 0)
-        modes = jnp.concatenate([modes, jnp.full((pad_n,), MODE_ZEROS, modes.dtype)], 0)
-    aug = _augment_inv(inv, modes)
+    inv, modes = _pad_bank(inv, modes, n_blocks, n_chunk)
     kernel = functools.partial(
         _fwd_kernel_multi_T, k_tile=k_tile, out_size=out_size, channels=c,
         prec=prec, n_chunk=n_chunk,
@@ -708,6 +766,10 @@ def _run_fwd_multi_T(work, inv, modes, out_size, interpret, k_tile, prec, n_chun
         s_w = jnp.maximum(jnp.max(jnp.abs(work)).astype(jnp.float32), 1e-6)
         work_wm = jnp.round(work_wm.astype(jnp.float32) / s_w * 127.0).astype(jnp.int8)
         post_scale = s_w / (127.0 * 127.0)
+        if fill is not None:
+            # the fill term adds inside the kernel's pre-dequant domain
+            fill = fill / post_scale
+    aug = _augment_inv(inv, modes, fill)
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks, k_tiles),
@@ -720,11 +782,7 @@ def _run_fwd_multi_T(work, inv, modes, out_size, interpret, k_tile, prec, n_chun
         interpret=interpret,
         compiler_params=_compiler_params(),
     )(aug, work_wm)
-    if post_scale is not None:
-        out = out * post_scale
-    return (
-        out[:n, :, :k].transpose(0, 2, 1).reshape(n, out_size, out_size, c).astype(work.dtype)
-    )
+    return _finish_fwd(out, n, k, out_size, c, work.dtype, out_layout, post_scale)
 
 
 def _bwd_kernel_multi(inv_ref, g_ref, dwork_ref, *, k_tile, out_size,
@@ -766,7 +824,8 @@ def _bwd_kernel_multi(inv_ref, g_ref, dwork_ref, *, k_tile, out_size,
                 dwork_ref[c] += _mm_t(a, gb, prec)
 
 
-def _run_fwd_multi(work, inv, modes, out_size, interpret, k_tile, prec, n_chunk, band):
+def _run_fwd_multi(work, inv, modes, fill, out_size, interpret, k_tile, prec,
+                   n_chunk, band, out_layout):
     if os.environ.get("PIXRAY_TPU_WARP_FWDT", "1") != "0":
         # default: transposed-layout kernels.  The FORWARD stays on the dense
         # int8 kernel even when a band is requested: measured on v5e the fwd
@@ -778,21 +837,19 @@ def _run_fwd_multi(work, inv, modes, out_size, interpret, k_tile, prec, n_chunk,
         # the row-major kernels below, where `band` is honored.)
         band_eff = _band_for(work.shape[0], band)
         if band_eff and os.environ.get("PIXRAY_TPU_WARP_FWD_TB", "0") == "1":
-            return _run_fwd_multi_TB(work, inv, modes, out_size, interpret,
-                                     k_tile, _norm_prec(prec), n_chunk, band_eff)
-        return _run_fwd_multi_T(work, inv, modes, out_size, interpret, k_tile, prec, n_chunk)
+            return _run_fwd_multi_TB(work, inv, modes, fill, out_size, interpret,
+                                     k_tile, _norm_prec(prec), n_chunk, band_eff,
+                                     out_layout)
+        return _run_fwd_multi_T(work, inv, modes, fill, out_size, interpret,
+                                k_tile, prec, n_chunk, out_layout)
     prec = _norm_prec(prec)
     n = inv.shape[0]
     h, w, c = work.shape
     k = out_size * out_size
     k_tiles = pl.cdiv(k, k_tile)
     n_blocks = pl.cdiv(n, n_chunk)
-    pad_n = n_blocks * n_chunk - n
-    if pad_n:
-        eye = jnp.broadcast_to(jnp.eye(3, dtype=inv.dtype), (pad_n, 3, 3))
-        inv = jnp.concatenate([inv, eye], 0)
-        modes = jnp.concatenate([modes, jnp.full((pad_n,), MODE_ZEROS, modes.dtype)], 0)
-    aug = _augment_inv(inv, modes)
+    inv, modes = _pad_bank(inv, modes, n_blocks, n_chunk)
+    aug = _augment_inv(inv, modes, fill)
     kernel = functools.partial(
         _fwd_kernel_multi, k_tile=k_tile, out_size=out_size, channels=c,
         prec=prec, n_chunk=n_chunk, band=_band_for(h, band),
@@ -810,9 +867,7 @@ def _run_fwd_multi(work, inv, modes, out_size, interpret, k_tile, prec, n_chunk,
         interpret=interpret,
         compiler_params=_compiler_params(),
     )(aug, work_cm)
-    return (
-        out[:n, :, :k].transpose(0, 2, 1).reshape(n, out_size, out_size, c).astype(work.dtype)
-    )
+    return _finish_fwd(out, n, k, out_size, c, work.dtype, out_layout)
 
 
 def _mm_nt(a, b, prec):
@@ -859,21 +914,19 @@ def _bwd_kernel_multi_T(inv_ref, g_ref, dwork_ref, *, k_tile, out_size,
             dwork_ref[c] += _mm_nt(a_t, gb_t, prec)
 
 
-def _run_bwd_multi_T(g, inv, modes, work_shape, out_size, interpret, k_tile, prec, n_chunk):
+def _run_bwd_multi_T(g, inv, modes, work_shape, out_size, interpret, k_tile,
+                     prec, n_chunk, out_layout):
     n = inv.shape[0]
     h, w, c = work_shape
     k = out_size * out_size
     k_tiles = pl.cdiv(k, k_tile)
     n_blocks = pl.cdiv(n, n_chunk)
     pad_n = n_blocks * n_chunk - n
-    g_flat = g.reshape(n, k, c).transpose(0, 2, 1).astype(jnp.float32)
+    g_flat = _g_flat(g, n, k, c, out_layout)
     pad_k = k_tiles * k_tile - k
     if pad_k or pad_n:
         g_flat = jnp.pad(g_flat, ((0, pad_n), (0, 0), (0, pad_k)))
-    if pad_n:
-        eye = jnp.broadcast_to(jnp.eye(3, dtype=inv.dtype), (pad_n, 3, 3))
-        inv = jnp.concatenate([inv, eye], 0)
-        modes = jnp.concatenate([modes, jnp.full((pad_n,), MODE_ZEROS, modes.dtype)], 0)
+    inv, modes = _pad_bank(inv, modes, n_blocks, n_chunk)
     aug = _augment_inv(inv, modes)
     kernel = functools.partial(
         _bwd_kernel_multi_T, k_tile=k_tile, out_size=out_size, channels=c,
@@ -901,29 +954,28 @@ def _run_bwd_multi_T(g, inv, modes, work_shape, out_size, interpret, k_tile, pre
 WARP_BWD_BAND = int(os.environ.get("PIXRAY_TPU_WARP_BWD_BAND", "64"))
 
 
-def _run_bwd_multi(g, inv, modes, work_shape, out_size, interpret, k_tile, prec, n_chunk, band):
+def _run_bwd_multi(g, inv, modes, work_shape, out_size, interpret, k_tile, prec,
+                   n_chunk, band, out_layout):
     prec = _norm_prec(prec)
     if os.environ.get("PIXRAY_TPU_WARP_BWDT", "1") != "0":
         band_eff = _band_for(work_shape[0], band or WARP_BWD_BAND)
         if band_eff:
             return _run_bwd_multi_TB(g, inv, modes, work_shape, out_size,
-                                     interpret, k_tile, prec, n_chunk, band_eff)
+                                     interpret, k_tile, prec, n_chunk, band_eff,
+                                     out_layout)
         return _run_bwd_multi_T(g, inv, modes, work_shape, out_size, interpret,
-                                k_tile, prec, n_chunk)
+                                k_tile, prec, n_chunk, out_layout)
     n = inv.shape[0]
     h, w, c = work_shape
     k = out_size * out_size
     k_tiles = pl.cdiv(k, k_tile)
     n_blocks = pl.cdiv(n, n_chunk)
     pad_n = n_blocks * n_chunk - n
-    g_flat = g.reshape(n, k, c).transpose(0, 2, 1).astype(jnp.float32)
+    g_flat = _g_flat(g, n, k, c, out_layout)
     pad_k = k_tiles * k_tile - k
     if pad_k or pad_n:
         g_flat = jnp.pad(g_flat, ((0, pad_n), (0, 0), (0, pad_k)))
-    if pad_n:
-        eye = jnp.broadcast_to(jnp.eye(3, dtype=inv.dtype), (pad_n, 3, 3))
-        inv = jnp.concatenate([inv, eye], 0)
-        modes = jnp.concatenate([modes, jnp.full((pad_n,), MODE_ZEROS, modes.dtype)], 0)
+    inv, modes = _pad_bank(inv, modes, n_blocks, n_chunk)
     aug = _augment_inv(inv, modes)
     kernel = functools.partial(
         _bwd_kernel_multi, k_tile=k_tile, out_size=out_size, channels=c,
@@ -944,13 +996,17 @@ def _run_bwd_multi(g, inv, modes, work_shape, out_size, interpret, k_tile, prec,
     return dwork.transpose(1, 2, 0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
-def pallas_warp_modes(work, inv, modes, out_size, interpret, k_tile, prec, n_chunk, band):
-    return _run_fwd_multi(work, inv, modes, out_size, interpret, k_tile, prec, n_chunk, band)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+def pallas_warp_modes(work, inv, modes, fill, out_size, interpret, k_tile, prec,
+                      n_chunk, band, out_layout):
+    return _run_fwd_multi(work, inv, modes, fill, out_size, interpret, k_tile,
+                          prec, n_chunk, band, out_layout)
 
 
-def _pallas_warp_modes_fwd(work, inv, modes, out_size, interpret, k_tile, prec, n_chunk, band):
-    out = _run_fwd_multi(work, inv, modes, out_size, interpret, k_tile, prec, n_chunk, band)
+def _pallas_warp_modes_fwd(work, inv, modes, fill, out_size, interpret, k_tile,
+                           prec, n_chunk, band, out_layout):
+    out = _run_fwd_multi(work, inv, modes, fill, out_size, interpret, k_tile,
+                         prec, n_chunk, band, out_layout)
     return out, (jax.lax.stop_gradient(work), inv, modes)
 
 
@@ -995,18 +1051,20 @@ def _xla_bwd_modes(g, inv, modes, work_shape, out_size):
     return dwork
 
 
-def _pallas_warp_modes_bwd(out_size, interpret, k_tile, prec, n_chunk, band, res, g):
+def _pallas_warp_modes_bwd(out_size, interpret, k_tile, prec, n_chunk, band,
+                           out_layout, res, g):
     work_ref, inv, modes = res
     if os.environ.get("PIXRAY_TPU_UNIFIED_BARRIER") == "1":
         # P0 bisection arm: fence the kernel's operands from XLA's surrounding
         # fusion/buffer-reuse decisions (suspected full-graph-only miscompile)
         g, inv, modes = jax.lax.optimization_barrier((g, inv, modes))
     if os.environ.get("PIXRAY_TPU_UNIFIED_BWD") == "xla":
-        dwork = _xla_bwd_modes(g, inv, modes, work_ref.shape, out_size)
+        g_nhwc = g.transpose(0, 2, 3, 1) if out_layout == "nchw" else g
+        dwork = _xla_bwd_modes(g_nhwc, inv, modes, work_ref.shape, out_size)
     else:
         dwork = _run_bwd_multi(g, inv, modes, work_ref.shape, out_size, interpret,
-                               k_tile, prec, n_chunk, band)
-    return dwork.astype(work_ref.dtype), None, None
+                               k_tile, prec, n_chunk, band, out_layout)
+    return dwork.astype(work_ref.dtype), None, None, None
 
 
 pallas_warp_modes.defvjp(_pallas_warp_modes_fwd, _pallas_warp_modes_bwd)
@@ -1014,38 +1072,28 @@ pallas_warp_modes.defvjp(_pallas_warp_modes_fwd, _pallas_warp_modes_bwd)
 
 def pallas_warp_batch_modes(work, matrices, modes, out_size: int, fill_value=0.0,
                             fill_mask=None, interpret=False, k_tile=None,
-                            precision=None, n_chunk=None, band=None):
+                            precision=None, n_chunk=None, band=None,
+                            out_layout="nhwc"):
     """Render a mixed-mode cutout bank in ONE kernel launch.
 
     ``modes``: (N,) int32 per-matrix padding mode (0=reflection, 1=border,
     2=zeros).  ``fill_mask``: optional (N,) bool — cuts whose zeros-padding is
     composited over ``fill_value`` using the closed-form bilinear coverage
-    (the reference's random-gray wide-cut fill)."""
+    (the reference's random-gray wide-cut fill); the composite runs INSIDE the
+    kernel (MODE_FILL) so no full-bank elementwise pass happens outside.
+    ``out_layout``: 'nhwc' (N, S, S, C) or 'nchw' (N, C, S, S) — the kernel's
+    native channel-major layout, skipping the bank relayout in both passes."""
     k_tile = K_TILE if k_tile is None else k_tile
     precision = WARP_PREC if precision is None else precision
     n_chunk = N_CHUNK if n_chunk is None else n_chunk
     band = WARP_BAND if band is None else band
     inv = jax.vmap(inv3x3)(matrices).astype(jnp.float32)
-    out = pallas_warp_modes(work, inv, modes, out_size, interpret, k_tile,
-                            precision, n_chunk, band)
+    fill = None
     if fill_mask is not None:
-        h, w = work.shape[0], work.shape[1]
-        out_hw = (out_size, out_size)
-
-        def mask_and_cover(m):
-            sx, sy = _source_coords(m, out_hw, work.dtype)
-            inside = (sx >= -0.5) & (sx <= w - 0.5) & (sy >= -0.5) & (sy <= h - 0.5)
-            cx = jnp.clip(jnp.minimum(sx + 1.0, w - sx), 0.0, 1.0)
-            cy = jnp.clip(jnp.minimum(sy + 1.0, h - sy), 0.0, 1.0)
-            return inside, cx * cy
-
-        insides, cover = jax.vmap(mask_and_cover)(matrices)
-        insides = insides[..., None]
-        cover = jax.lax.stop_gradient(cover)[..., None]
-        fill = jnp.asarray(fill_value, work.dtype)
-        filled = jnp.where(insides, out + (1.0 - cover) * fill, fill)
-        out = jnp.where(fill_mask[:, None, None, None], filled, out)
-    return out
+        modes = jnp.where(fill_mask, MODE_FILL, modes.astype(jnp.int32))
+        fill = jnp.asarray(fill_value, jnp.float32)
+    return pallas_warp_modes(work, inv, modes, fill, out_size, interpret, k_tile,
+                             precision, n_chunk, band, out_layout)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
@@ -1081,20 +1129,17 @@ def pallas_warp_batch(work, matrices, out_size: int, padding_mode="zeros", fill_
         h, w = work.shape[0], work.shape[1]
         out_hw = (out_size, out_size)
 
-        def mask_and_cover(m):
+        def cover_of(m):
             sx, sy = _source_coords(m, out_hw, work.dtype)
-            inside = (sx >= -0.5) & (sx <= w - 0.5) & (sy >= -0.5) & (sy <= h - 0.5)
             # bilinear coverage of the canvas at (sx, sy) in closed form — the
             # sum of in-bounds hat weights is 1 in the interior and ramps to 0
             # across the half-open border band, so warping a ones-canvas (what
             # this used to cost a third Pallas kernel per step) is just:
             cx = jnp.clip(jnp.minimum(sx + 1.0, w - sx), 0.0, 1.0)
             cy = jnp.clip(jnp.minimum(sy + 1.0, h - sy), 0.0, 1.0)
-            return inside, cx * cy
+            return cx * cy
 
-        insides, cover = jax.vmap(mask_and_cover)(matrices)
-        insides = insides[..., None]
-        cover = jax.lax.stop_gradient(cover)[..., None]
+        cover = jax.lax.stop_gradient(jax.vmap(cover_of)(matrices))[..., None]
         fill = jnp.asarray(fill_value, work.dtype)
-        out = jnp.where(insides, out + (1.0 - cover) * fill, fill)
+        out = out + (1.0 - cover) * fill
     return out

@@ -83,17 +83,20 @@ def bilinear_sample(img, x, y, padding_mode="zeros", fill_value=0.0):
     )
 
     if padding_mode == "fill":
-        inside = (x >= -0.5) & (x <= w - 0.5) & (y >= -0.5) & (y <= h - 0.5)
         fill = jnp.asarray(fill_value, dtype=img.dtype)
         fill = jnp.broadcast_to(fill, out.shape)
-        # renormalize partial-coverage taps so edges blend toward the fill color
+        # blend partial-coverage taps toward the fill color.  cover is the sum
+        # of in-bounds hat weights (1 interior, ramping to 0 across the
+        # one-pixel border band); out is already 0 wherever cover is — the
+        # same formula every fill path (warp_batch, the unified mixed-mode
+        # kernels, the in-kernel Pallas composite) shares bit-for-bit.
         cover = (
             m00.astype(img.dtype)[..., None] * (1 - wx) * (1 - wy)
             + m01.astype(img.dtype)[..., None] * wx * (1 - wy)
             + m10.astype(img.dtype)[..., None] * (1 - wx) * wy
             + m11.astype(img.dtype)[..., None] * wx * wy
         )
-        out = jnp.where(inside[..., None], out + (1 - cover) * fill, fill)
+        out = out + (1 - cover) * fill
     return out
 
 

@@ -174,33 +174,35 @@ _warp_gather_modes.defvjp(_warp_gather_modes_fwd, _warp_gather_modes_bwd)
 
 
 def warp_batch_modes(work, matrices, modes, out_size: int, fill_value=0.0,
-                     fill_mask=None):
+                     fill_mask=None, out_layout="nhwc"):
     """Mixed-mode bank warp with the closed-form fill compositing.
 
-    XLA twin of ops/pallas_warp.py::pallas_warp_batch_modes (same semantics)."""
+    XLA twin of ops/pallas_warp.py::pallas_warp_batch_modes (same semantics:
+    fill cuts composite as ``out + (1-cover)*fill`` — the warp output is zero
+    wherever cover is, since every bilinear hat vanishes there)."""
     out_hw = (out_size, out_size)
     out = _warp_gather_modes(work, matrices, modes, out_hw)
     if fill_mask is not None:
         h, w = work.shape[0], work.shape[1]
 
-        def mask_and_cover(m):
+        def cover_of(m):
             sx, sy = _source_coords(m, out_hw, work.dtype)
-            inside = (sx >= -0.5) & (sx <= w - 0.5) & (sy >= -0.5) & (sy <= h - 0.5)
             cx = jnp.clip(jnp.minimum(sx + 1.0, w - sx), 0.0, 1.0)
             cy = jnp.clip(jnp.minimum(sy + 1.0, h - sy), 0.0, 1.0)
-            return inside, cx * cy
+            return cx * cy
 
-        insides, cover = jax.vmap(mask_and_cover)(matrices)
-        insides = insides[..., None]
-        cover = jax.lax.stop_gradient(cover)[..., None]
+        cover = jax.lax.stop_gradient(jax.vmap(cover_of)(matrices))[..., None]
         fill = jnp.asarray(fill_value, work.dtype)
-        filled = jnp.where(insides, out + (1.0 - cover) * fill, fill)
-        out = jnp.where(fill_mask[:, None, None, None], filled, out)
+        out = jnp.where(
+            fill_mask[:, None, None, None], out + (1.0 - cover) * fill, out
+        )
+    if out_layout == "nchw":
+        out = out.transpose(0, 3, 1, 2)
     return out
 
 
 def warp_batch_separable(work, matrices, modes, out_size: int, fill_value=0.0,
-                         fill_mask=None):
+                         fill_mask=None, out_layout="nhwc"):
     """Axis-aligned bank warp as two dense matmuls per cut (MXU fast path).
 
     ``matrices`` must be axis-aligned src→dst (m01=m10=m20=m21=0): the source
@@ -228,20 +230,32 @@ def warp_batch_separable(work, matrices, modes, out_size: int, fill_value=0.0,
     ay = jnp.maximum(0.0, 1.0 - jnp.abs(ty[:, :, None] - u[None, None, :]))  # (N,S,H)
     bx = jnp.maximum(0.0, 1.0 - jnp.abs(tx[:, :, None] - v[None, None, :]))  # (N,S,W)
     mm = _matmul_dtype()
+    if out_layout == "nchw":
+        tmp = jnp.einsum("niu,uvc->ncvi", ay.astype(mm), work.astype(mm),
+                         preferred_element_type=jnp.float32)
+        out = jnp.einsum("ncvi,njv->ncij", tmp.astype(mm), bx.astype(mm),
+                         preferred_element_type=jnp.float32).astype(dtype)
+        if fill_mask is not None:
+            cx = jnp.clip(jnp.minimum(sx + 1.0, w - sx), 0.0, 1.0)
+            cy = jnp.clip(jnp.minimum(sy + 1.0, h - sy), 0.0, 1.0)
+            cover = jax.lax.stop_gradient(cy[:, :, None] * cx[:, None, :])[:, None]
+            fill = jnp.asarray(fill_value, dtype)
+            out = jnp.where(
+                fill_mask[:, None, None, None], out + (1.0 - cover) * fill, out
+            )
+        return out
     tmp = jnp.einsum("niu,uvc->nivc", ay.astype(mm), work.astype(mm),
                      preferred_element_type=jnp.float32)
     out = jnp.einsum("nivc,njv->nijc", tmp.astype(mm), bx.astype(mm),
                      preferred_element_type=jnp.float32).astype(dtype)
     if fill_mask is not None:
-        inx = (sx >= -0.5) & (sx <= w - 0.5)
-        iny = (sy >= -0.5) & (sy <= h - 0.5)
-        inside = (iny[:, :, None] & inx[:, None, :])[..., None]
         cx = jnp.clip(jnp.minimum(sx + 1.0, w - sx), 0.0, 1.0)
         cy = jnp.clip(jnp.minimum(sy + 1.0, h - sy), 0.0, 1.0)
         cover = jax.lax.stop_gradient(cy[:, :, None] * cx[:, None, :])[..., None]
         fill = jnp.asarray(fill_value, dtype)
-        filled = jnp.where(inside, out + (1.0 - cover) * fill, fill)
-        out = jnp.where(fill_mask[:, None, None, None], filled, out)
+        out = jnp.where(
+            fill_mask[:, None, None, None], out + (1.0 - cover) * fill, out
+        )
     return out
 
 
@@ -258,13 +272,16 @@ def warp_batch(work, matrices, out_size: int, padding_mode="zeros", fill_value=0
     if padding_mode == "fill":
         h, w = work.shape[0], work.shape[1]
 
-        def inside_mask(m):
+        def cover_of(m):
+            # closed-form bilinear coverage: identical to warping a ones-canvas
+            # (the hat weights factorize per axis), shared with the unified
+            # mixed-mode paths so all fill formulations agree bit-for-bit
             sx, sy = _source_coords(m, out_hw, work.dtype)
-            return (sx >= -0.5) & (sx <= w - 0.5) & (sy >= -0.5) & (sy <= h - 0.5)
+            cx = jnp.clip(jnp.minimum(sx + 1.0, w - sx), 0.0, 1.0)
+            cy = jnp.clip(jnp.minimum(sy + 1.0, h - sy), 0.0, 1.0)
+            return cx * cy
 
-        insides = jax.vmap(inside_mask)(matrices)[..., None]
-        ones = jnp.ones(work.shape[:2] + (1,), work.dtype)
-        cover = jax.lax.stop_gradient(_warp_gather(ones, matrices, out_hw, padding_mode))
+        cover = jax.lax.stop_gradient(jax.vmap(cover_of)(matrices))[..., None]
         fill = jnp.asarray(fill_value, work.dtype)
-        out = jnp.where(insides, out + (1.0 - cover) * fill, fill)
+        out = out + (1.0 - cover) * fill
     return out

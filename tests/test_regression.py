@@ -14,14 +14,14 @@ pytestmark = pytest.mark.slow
 import pixray_tpu as pixray
 from tests.test_e2e import tiny_settings
 
-# recorded 2026-08-18 (round 3), jax 0.9.0, CPU.
-# Re-recorded after the fixed-count perspective split (engine/cutouts.py,
-# PIXRAY_TPU_SPLIT_PERSP): perspective now applies to the first
-# round(0.7*n) slots of each branch instead of per-cut Bernoulli draws, which
-# legitimately changes the seeded transform bank (and with it the trajectory).
+# recorded 2026-08-19 (round 4), jax 0.9.0, CPU.
+# Re-recorded after the channel-major cutout pipeline (engine/cutouts.py
+# layout='nchw'): the additive augmentation noise field is now drawn in the
+# bank's native (N, 3, S, S) shape, which legitimately re-associates the seeded
+# noise values with (pixel, channel) positions (statistically identical).
 # (recorded under conftest's environment — the 8-device virtual CPU mesh;
 # single-device runs drift a few % through reduction order + jitter gray-ties)
-EXPECTED_TRAJECTORY = [0.925918, 0.957275, 0.87025]
+EXPECTED_TRAJECTORY = [0.954001, 0.931523, 0.830106]
 
 
 def test_seeded_trajectory(tmp_path):

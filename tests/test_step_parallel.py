@@ -191,3 +191,20 @@ class TestMeshShardingCoverage:
         z, _, total, _, _ = step(z0, opt_state, jax.random.PRNGKey(0), 0, 0, 1.0, refs)
         assert np.isfinite(float(total))
         assert not np.allclose(np.asarray(jax.tree_util.tree_leaves(z)[0]), leaf0)
+
+
+def test_sharded_vs_unsharded_trajectory_parity():
+    """run_parity: the same seeded trajectory sharded over a 4x2 mesh (3
+    perceptors placed on 2 model groups) must match the unsharded run in
+    per-step losses and final latent — sharding is placement, not numerics.
+    The driver's dryrun_multichip sweeps more shapes; this pins the contract
+    in CI."""
+    from pixray_tpu.parallel.dryrun import run_parity
+
+    devices = jax.devices("cpu")
+    if len(devices) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = Mesh(np.asarray(devices[:8]).reshape(4, 2), (DATA_AXIS, MODEL_AXIS))
+    rep = run_parity(mesh, n_steps=2)
+    assert rep["ensemble"] and rep["members"] == 3
+    assert rep["loss_delta"] <= 2e-3 and rep["z_delta"] <= 2e-3

@@ -141,29 +141,16 @@ def calibrate_matmul_tflops():
     return 30 * 2 * d**3 / tbest / 1e12
 
 
-def run_smoke_gate(losses):
-    """Descent + precision-ladder gate on the flagship trajectory just
-    measured; a numerics regression refuses to publish (exit 1).
+def run_reference_trajectory():
+    """Exact-arithmetic reference trajectory (``PIXRAY_TPU_WARP_PREC=highest``)
+    in a subprocess; returns its final-loss summary dict.
 
-    The descent check and the default-precision final loss come free from the
-    bench engine's own seeded run (same config/seed as tools/smoke_tpu.py);
-    only the exact-arithmetic reference trajectory needs a subprocess
-    (``PIXRAY_TPU_WARP_PREC=highest`` binds at import, and TPU executables
-    don't persist across processes through the remote-compile relay, so
-    every avoided subprocess saves a full compile)."""
+    MUST run before this process touches the TPU: the chip is a single
+    exclusive-access device (through the remote relay too), so a subprocess
+    spawned while the parent holds a live TPU client blocks forever waiting
+    for the device.  The precision default also binds at kernel import, which
+    is the other reason this is a subprocess at all."""
     import json as _json
-
-    import numpy as np
-
-    steps = int(os.environ.get("PIXRAY_TPU_SMOKE_STEPS", "60"))
-    band = float(os.environ.get("PIXRAY_TPU_SMOKE_BAND", "0.08"))
-    window = losses[:steps]
-    first5 = float(np.mean(window[:5]))
-    last5 = float(np.mean(window[-5:]))
-    if not (np.all(np.isfinite(window)) and last5 < first5 - 0.01):
-        print(f"SMOKE FAILED: loss did not descend (first5={first5:.4f}, "
-              f"last5={last5:.4f}) — refusing to publish", file=sys.stderr)
-        raise SystemExit(1)
 
     here = os.path.dirname(os.path.abspath(__file__))
     env = dict(os.environ, PIXRAY_TPU_WARP_PREC="highest")
@@ -176,7 +163,29 @@ def run_smoke_gate(losses):
               file=sys.stderr)
         print((out.stdout + out.stderr)[-2000:], file=sys.stderr)
         raise SystemExit(1)
-    ref = _json.loads(out.stdout.strip().splitlines()[-1])
+    return _json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def check_smoke_gate(losses, ref):
+    """Descent + precision-ladder gate on the flagship trajectory just
+    measured; a numerics regression refuses to publish (exit 1).
+
+    The descent check and the default-precision final loss come free from the
+    bench engine's own seeded run (same config/seed as tools/smoke_tpu.py);
+    ``ref`` is the exact-arithmetic subprocess summary from
+    run_reference_trajectory()."""
+    import numpy as np
+
+    steps = int(os.environ.get("PIXRAY_TPU_SMOKE_STEPS", "60"))
+    band = float(os.environ.get("PIXRAY_TPU_SMOKE_BAND", "0.08"))
+    window = losses[:steps]
+    first5 = float(np.mean(window[:5]))
+    last5 = float(np.mean(window[-5:]))
+    if not (np.all(np.isfinite(window)) and last5 < first5 - 0.01):
+        print(f"SMOKE FAILED: loss did not descend (first5={first5:.4f}, "
+              f"last5={last5:.4f}) — refusing to publish", file=sys.stderr)
+        raise SystemExit(1)
+
     gap = last5 - ref["last5"]
     if gap > band:
         print(f"NUMERICS GATE FAILED: default precision converges {gap:.4f} "
@@ -187,23 +196,37 @@ def run_smoke_gate(losses):
 
 
 def main():
+    # exclusive-device ordering: every subprocess that needs the chip runs
+    # BEFORE this process creates its TPU client (see run_reference_trajectory)
+    def note(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+    ref = None
+    if os.environ.get("PIXRAY_TPU_BENCH_SMOKE", "1") == "1":
+        note("running exact-precision reference trajectory (subprocess)...")
+        ref = run_reference_trajectory()
+
+    note("flagship config (pixel)...")
     losses = []
     flagship = bench_config(
         "pixel", CONFIGS["pixel"], WARMUP_STEPS, TIMED_STEPS, 3, losses_sink=losses
     )
     smoke = "skipped"
-    if os.environ.get("PIXRAY_TPU_BENCH_SMOKE", "1") == "1":
-        smoke = run_smoke_gate(losses)
+    if ref is not None:
+        smoke = check_smoke_gate(losses, ref)
+    note(f"flagship {flagship:.2f} steps/s, smoke {smoke}")
 
     configs = {"pixel": round(flagship, 3)}
     if os.environ.get("PIXRAY_TPU_BENCH_CONFIGS", "1") == "1":
         for name in ("fft", "vqgan", "clipdraw", "vdiff"):
+            note(f"config {name}...")
             try:
                 configs[name] = round(
                     bench_config(name, CONFIGS[name], 9, 8, 2), 3
                 )
             except Exception as exc:  # keep the headline metric publishable
                 configs[name] = f"error: {type(exc).__name__}: {exc}"[:200]
+            note(f"config {name}: {configs[name]}")
 
     print(
         json.dumps(

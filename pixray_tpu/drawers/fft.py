@@ -6,9 +6,10 @@ native JAX:
 
 - fft:   latent = complex spectrum (as real/imag pair) over rfft2 frequencies,
          scaled by ``freq^-decay`` (Lucid-style), rendered via jnp.fft.irfftn;
-- dwt:   latent = multi-level Haar wavelet coefficients, rendered by inverse DWT
-         (other wavelet names fall back to haar with a note — the reference used
-         pytorch_wavelets' coif2 by default);
+- dwt:   latent = multi-level wavelet coefficient pyramid (``--fft_wave``:
+         haar / db1..db20 / coif1..coif5, default coif2 like the reference),
+         rendered by inverse DWT — each level is a pair of orthogonal matmuls
+         per axis (ops/wavelets.py), so synthesis rides the MXU;
 - pixel: latent = raw pixel logits;
 
 followed by Lucid color decorrelation and a sigmoid (to_valid_rgb semantics),
@@ -52,32 +53,33 @@ def fft_scale(h, w, decay_power):
     return jnp.asarray(scale[None], jnp.float32)  # (1, h, w//2+1)
 
 
-def haar_dwt2(x):
-    """One Haar analysis level: (C, H, W) → LL, (LH, HL, HH)."""
-    a = x[:, 0::2, 0::2]
-    b = x[:, 0::2, 1::2]
-    c = x[:, 1::2, 0::2]
-    d = x[:, 1::2, 1::2]
-    ll = (a + b + c + d) / 2.0
-    lh = (a - b + c - d) / 2.0
-    hl = (a + b - c - d) / 2.0
-    hh = (a - b - c + d) / 2.0
+def dwt2(x, a_h, a_w):
+    """One separable analysis level: (C, H, W) → LL, (LH, HL, HH).
+
+    ``a_h``/``a_w`` are the orthogonal periodized analysis matrices for the
+    level's input H and W (ops/wavelets.py); rows [0:N/2] are approximation,
+    [N/2:] detail.  With the haar filter this reproduces the classic
+    (a±b±c±d)/2 butterfly exactly.
+    """
+    y = jnp.einsum("ij,cjw->ciw", a_h, x)
+    y = jnp.einsum("cjw,iw->cji", y, a_w)
+    h2, w2 = a_h.shape[0] // 2, a_w.shape[0] // 2
+    ll = y[:, :h2, :w2]
+    lh = y[:, :h2, w2:]   # low along H, high along W
+    hl = y[:, h2:, :w2]   # high along H, low along W
+    hh = y[:, h2:, w2:]
     return ll, (lh, hl, hh)
 
 
-def haar_idwt2(ll, bands):
+def idwt2(ll, bands, a_h, a_w):
+    """Exact inverse of dwt2 (synthesis = transposed matmuls)."""
     lh, hl, hh = bands
-    a = (ll + lh + hl + hh) / 2.0
-    b = (ll - lh + hl - hh) / 2.0
-    c = (ll + lh - hl - hh) / 2.0
-    d = (ll - lh - hl + hh) / 2.0
-    ch, h, w = ll.shape
-    out = jnp.zeros((ch, h * 2, w * 2), ll.dtype)
-    out = out.at[:, 0::2, 0::2].set(a)
-    out = out.at[:, 0::2, 1::2].set(b)
-    out = out.at[:, 1::2, 0::2].set(c)
-    out = out.at[:, 1::2, 1::2].set(d)
-    return out
+    y = jnp.concatenate(
+        [jnp.concatenate([ll, lh], axis=2), jnp.concatenate([hl, hh], axis=2)],
+        axis=1,
+    )
+    y = jnp.einsum("ij,cjw->ciw", a_h.T, y)
+    return jnp.einsum("cjw,iw->cji", y, a_w.T)
 
 
 class FftDrawer(DrawingInterface):
@@ -87,7 +89,7 @@ class FftDrawer(DrawingInterface):
     def add_settings(parser):
         parser.add_argument("--fft_use", type=str, help="use fft or dwt or pixel", default="fft", dest="fft_use")
         parser.add_argument("--fft_decay", default=1.5, type=float, dest="fft_decay")
-        parser.add_argument("--fft_wave", default="coif2", help="wavelets: haar supported natively", dest="fft_wave")
+        parser.add_argument("--fft_wave", default="coif2", help="wavelets: db[1..20], coif[1..5], haar", dest="fft_wave")
         parser.add_argument("--fft_sharp", default=0.3, type=float, dest="fft_sharp")
         parser.add_argument("--fft_colors", default=1.5, type=float, dest="fft_colors")
         parser.add_argument("--fft_lrate", default=0.3, type=float, help="Learning rate", dest="fft_lrate")
@@ -101,14 +103,29 @@ class FftDrawer(DrawingInterface):
         self.colors = settings.fft_colors
         self.learning_rate = settings.fft_lrate
         self.contrast = 0.9  # reference fftdrawer.py:82
-        if self.fft_use == "dwt" and self.wave != "haar":
-            print(f"NOTE: wavelet {self.wave!r} not available natively; using haar")
+        if self.fft_use == "dwt":
+            from pixray_tpu.ops.wavelets import wavelet_filter
+
+            self._dec_lo = wavelet_filter(self.wave)  # raises on unknown names
         # pad DWT canvas to a multiple of 2^levels
         self.dwt_levels = 4
 
     def snap_canvas(self, size):
         super().snap_canvas(size)
         self._scale = fft_scale(self.canvas_height, self.canvas_width, self.decay)
+        if self.fft_use == "dwt":
+            from pixray_tpu.ops.wavelets import analysis_matrix
+
+            ph, pw = self._dwt_shapes()
+            # per-level analysis matrices, level 0 = coarsest (matches the
+            # bands{lvl} pyramid: synth applies lvl 0..levels-1 upward)
+            self._dwt_mats = [
+                (
+                    jnp.asarray(analysis_matrix(ph >> (self.dwt_levels - 1 - lvl), self._dec_lo), jnp.float32),
+                    jnp.asarray(analysis_matrix(pw >> (self.dwt_levels - 1 - lvl), self._dec_lo), jnp.float32),
+                )
+                for lvl in range(self.dwt_levels)
+            ]
         return self.canvas_width, self.canvas_height
 
     # ------------------------------------------------------------------ latents
@@ -152,7 +169,7 @@ class FftDrawer(DrawingInterface):
             x = jnp.pad(raw, ((0, 0), (0, ph - raw.shape[1]), (0, pw - raw.shape[2])), mode="edge")
             params = {}
             for lvl in range(self.dwt_levels - 1, -1, -1):
-                x, bands = haar_dwt2(x)
+                x, bands = dwt2(x, *self._dwt_mats[lvl])
                 params[f"bands{lvl}"] = jnp.stack(bands, axis=0)
             params["ll"] = x
             return params
@@ -168,7 +185,7 @@ class FftDrawer(DrawingInterface):
             x = z["ll"]
             for lvl in range(self.dwt_levels):
                 b = z[f"bands{lvl}"]
-                x = haar_idwt2(x, (b[0], b[1], b[2]))
+                x = idwt2(x, (b[0], b[1], b[2]), *self._dwt_mats[lvl])
             raw = x[:, :h, :w]
         else:
             raw = z

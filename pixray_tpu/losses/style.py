@@ -289,3 +289,100 @@ class StyleLoss(LossInterface):
             it >= args.styleloss_skip, (it % args.styleloss_every) == 0
         )
         return jax.lax.cond(active, compute, lambda _: jnp.zeros(()), operand=None)
+
+
+def _resize_long_edge(pil, trg):
+    """pil_resize_long_edge_to (StyleLoss.py:98-102)."""
+    from PIL import Image
+
+    short_w = pil.width < pil.height
+    ar_resized_long = (trg / pil.height) if short_w else (trg / pil.width)
+    return pil.resize(
+        (int(pil.width * ar_resized_long), int(pil.height * ar_resized_long)),
+        Image.BICUBIC,
+    )
+
+
+def run_strotss(content_pil, style_pil, content_weight=16.0, space="uniform",
+                steps=150, seed=0, progress=print):
+    """Standalone STROTSS style transfer: optimize an image against the full
+    multi-scale loss.  Returns a (H, W, 3) float array in [0, 1].
+
+    The reference ships ``python -m Losses.StyleLoss content style``
+    (StyleLoss.py:431-456) — which calls a ``strotss`` function that does not
+    exist in that file (vestigial upstream entry; it NameErrors).  This is the
+    working equivalent: Adam on a sigmoid-parameterized canvas, one jitted
+    value_and_grad of strotss_loss per step.
+    """
+    import optax
+
+    content = jnp.asarray(np.asarray(content_pil, np.float32) / 255.0)[None]
+    style = jnp.asarray(
+        np.asarray(
+            style_pil.resize((content.shape[2], content.shape[1])), np.float32
+        ) / 255.0
+    )[None]
+    vgg_params = load_vgg16_params()
+
+    img0 = jnp.clip(content, 1e-3, 1 - 1e-3)
+    z = jnp.log(img0 / (1 - img0))  # sigmoid logits, init = content
+    opt = optax.adam(0.02)
+    opt_state = opt.init(z)
+
+    @jax.jit
+    def step_fn(z, opt_state, key):
+        def loss_fn(z):
+            return strotss_loss(
+                jax.nn.sigmoid(z), style, content_weight, vgg_params, key, space
+            )
+
+        loss, g = jax.value_and_grad(loss_fn)(z)
+        updates, opt_state = opt.update(g, opt_state, z)
+        return optax.apply_updates(z, updates), opt_state, loss
+
+    key = jax.random.PRNGKey(seed)
+    for it in range(steps):
+        key, k = jax.random.split(key)
+        z, opt_state, loss = step_fn(z, opt_state, k)
+        if it % 25 == 0 or it == steps - 1:
+            progress(f"strotss step {it}: loss {float(loss):.4f}")
+    return np.asarray(jax.nn.sigmoid(z[0]))
+
+
+def main(argv=None):
+    """CLI parity with /root/reference/Losses/StyleLoss.py:431-456."""
+    import argparse
+
+    from PIL import Image
+
+    parser = argparse.ArgumentParser(description="STROTSS style transfer")
+    parser.add_argument("content", type=str)
+    parser.add_argument("style", type=str)
+    parser.add_argument("--weight", type=float, default=1.0)
+    parser.add_argument("--output", type=str, default="strotss.png")
+    parser.add_argument("--device", type=str, default=None,
+                        help="accepted for reference-script compatibility (JAX places automatically)")
+    parser.add_argument("--ospace", type=str, default="uniform", choices=["uniform", "vgg"])
+    parser.add_argument("--resize_to", type=int, default=512)
+    parser.add_argument("--steps", type=int, default=150)
+    args = parser.parse_args(argv)
+
+    if args.resize_to < 2**8:
+        print("Resulution too low.")  # sic — reference message, StyleLoss.py:445
+        raise SystemExit(1)
+
+    content_pil = Image.open(args.content).convert("RGB")
+    style_pil = Image.open(args.style).convert("RGB")
+    result = run_strotss(
+        _resize_long_edge(content_pil, args.resize_to),
+        _resize_long_edge(style_pil, args.resize_to),
+        content_weight=args.weight * 16.0,
+        space=args.ospace,
+        steps=args.steps,
+    )
+    Image.fromarray((result * 255).astype(np.uint8)).save(args.output)
+    print(f"saved {args.output}")
+
+
+if __name__ == "__main__":
+    main()

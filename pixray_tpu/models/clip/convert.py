@@ -57,7 +57,7 @@ def _transformer(sd, prefix, layers):
 
 def convert_openai_clip(state_dict, config):
     """OpenAI CLIP state dict → {'params': ..., 'batch_stats': ...} Flax variables."""
-    sd = {k: v for k, v in state_dict.items()}
+    sd = state_dict  # read-only; kept as-is so audit RecordingDicts see key reads
     params: dict = {}
     batch_stats: dict = {}
 
@@ -191,7 +191,7 @@ def convert_slip_clip(state_dict, config):
     pos_embed, blocks.N.{norm1,attn.qkv,attn.proj,norm2,mlp.fc1,mlp.fc2},
     visual.norm, and separate image_projection/text_projection parameters.
     """
-    sd = {k: v for k, v in state_dict.items()}
+    sd = state_dict  # read-only; kept as-is so audit RecordingDicts see key reads
     p = config.vision_patch_size
     width = config.vision_width
 

@@ -33,6 +33,8 @@ def init(args):
 
 def spew_vectors(args, inputs, outfile):
     input_files = real_glob(inputs)
+    if getattr(args, "limit", None):
+        input_files = input_files[: args.limit]
     save_table = {}
     for name in args.models:
         perceptor = _perceptors[name]
@@ -94,6 +96,20 @@ def main(argv=None):
     parser.add_argument("--avg-diff", dest="avg_diff", type=str, default=None, help="Two vector files to average and then diff")
     parser.add_argument("--svm-diff", dest="svm_diff", type=str, default=None, help="Two vector files for an SVM hyperplane diff")
     parser.add_argument("--outfile", type=str, help="Output JSON", default="vectors.json", dest="outfile")
+    parser.add_argument("--limit", dest="limit", type=int, default=None, help="Limit number of inputs when computing atvecs")
+    # reference flag-surface parity (/root/reference/vectorize.py:144-177):
+    # these are parsed-but-unused in the reference's main() too — accepted so
+    # scripts written against the reference tool run unchanged
+    parser.add_argument("--z-dim", dest="z_dim", type=int, default=100, help=argparse.SUPPRESS)
+    parser.add_argument("--encoded-vectors", type=str, default=None, help=argparse.SUPPRESS)
+    parser.add_argument("--encoded-true", type=str, default=None, help=argparse.SUPPRESS)
+    parser.add_argument("--encoded-false", type=str, default=None, help=argparse.SUPPRESS)
+    parser.add_argument("--thresh", dest="thresh", default=False, action="store_true", help=argparse.SUPPRESS)
+    parser.add_argument("--svm", dest="svm", default=False, action="store_true", help=argparse.SUPPRESS)
+    parser.add_argument("--attribute-vectors", dest="attribute_vectors", default=None, help=argparse.SUPPRESS)
+    parser.add_argument("--attribute-thresholds", dest="attribute_thresholds", default=None, help=argparse.SUPPRESS)
+    parser.add_argument("--attribute-set", dest="attribute_set", default="all", help=argparse.SUPPRESS)
+    parser.add_argument("--attribute-indices", dest="attribute_indices", default=None, type=str, help=argparse.SUPPRESS)
     args = parser.parse_args(argv)
 
     if args.avg_diff:

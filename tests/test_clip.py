@@ -118,73 +118,11 @@ class TestGoldenVsTorch:
 
 
 def _openai_style_state_dict(cfg, rng):
-    """Synthetic state dict in OpenAI CLIP naming/layout for converter tests."""
-    sd = {}
+    """Shared spec-side signature (models/signatures.py) — also used by the
+    asset-free converter audit in tools/validate_weights.py."""
+    from pixray_tpu.models.signatures import openai_clip_signature
 
-    def add(name, *shape):
-        sd[name] = rng.standard_normal(shape).astype(np.float32) * 0.02
-
-    def add_block(prefix, d):
-        add(f"{prefix}.ln_1.weight", d); add(f"{prefix}.ln_1.bias", d)
-        add(f"{prefix}.ln_2.weight", d); add(f"{prefix}.ln_2.bias", d)
-        add(f"{prefix}.attn.in_proj_weight", 3 * d, d)
-        add(f"{prefix}.attn.in_proj_bias", 3 * d)
-        add(f"{prefix}.attn.out_proj.weight", d, d)
-        add(f"{prefix}.attn.out_proj.bias", d)
-        add(f"{prefix}.mlp.c_fc.weight", 4 * d, d); add(f"{prefix}.mlp.c_fc.bias", 4 * d)
-        add(f"{prefix}.mlp.c_proj.weight", d, 4 * d); add(f"{prefix}.mlp.c_proj.bias", d)
-
-    if cfg.vision_kind == "vit":
-        p, w = cfg.vision_patch_size, cfg.vision_width
-        n = (cfg.image_resolution // p) ** 2 + 1
-        add("visual.conv1.weight", w, 3, p, p)
-        add("visual.class_embedding", w)
-        add("visual.positional_embedding", n, w)
-        add("visual.ln_pre.weight", w); add("visual.ln_pre.bias", w)
-        add("visual.ln_post.weight", w); add("visual.ln_post.bias", w)
-        add("visual.proj", w, cfg.embed_dim)
-        for i in range(cfg.vision_layers):
-            add_block(f"visual.transformer.resblocks.{i}", w)
-    else:
-        w = cfg.vision_width
-
-        def add_bn(prefix, c):
-            add(f"{prefix}.weight", c); add(f"{prefix}.bias", c)
-            sd[f"{prefix}.running_mean"] = np.zeros(c, np.float32)
-            sd[f"{prefix}.running_var"] = np.ones(c, np.float32)
-
-        add("visual.conv1.weight", w // 2, 3, 3, 3); add_bn("visual.bn1", w // 2)
-        add("visual.conv2.weight", w // 2, w // 2, 3, 3); add_bn("visual.bn2", w // 2)
-        add("visual.conv3.weight", w, w // 2, 3, 3); add_bn("visual.bn3", w)
-        inplanes = w
-        for stage, blocks in enumerate(cfg.vision_layers):
-            planes = w * (2**stage)
-            for blk in range(blocks):
-                pre = f"visual.layer{stage + 1}.{blk}"
-                add(f"{pre}.conv1.weight", planes, inplanes, 1, 1); add_bn(f"{pre}.bn1", planes)
-                add(f"{pre}.conv2.weight", planes, planes, 3, 3); add_bn(f"{pre}.bn2", planes)
-                add(f"{pre}.conv3.weight", planes * 4, planes, 1, 1); add_bn(f"{pre}.bn3", planes * 4)
-                if blk == 0 and (stage > 0 or inplanes != planes * 4):
-                    add(f"{pre}.downsample.0.weight", planes * 4, inplanes, 1, 1)
-                    add_bn(f"{pre}.downsample.1", planes * 4)
-                inplanes = planes * 4
-        feat = w * 32
-        spatial = cfg.image_resolution // 32
-        add("visual.attnpool.positional_embedding", spatial * spatial + 1, feat)
-        for proj in ("q_proj", "k_proj", "v_proj"):
-            add(f"visual.attnpool.{proj}.weight", feat, feat)
-            add(f"visual.attnpool.{proj}.bias", feat)
-        add("visual.attnpool.c_proj.weight", cfg.embed_dim, feat)
-        add("visual.attnpool.c_proj.bias", cfg.embed_dim)
-
-    tw = cfg.text_width
-    add("token_embedding.weight", cfg.vocab_size, tw)
-    add("positional_embedding", cfg.context_length, tw)
-    add("ln_final.weight", tw); add("ln_final.bias", tw)
-    add("text_projection", tw, cfg.embed_dim)
-    for i in range(cfg.text_layers):
-        add_block(f"transformer.resblocks.{i}", tw)
-    return sd
+    return openai_clip_signature(cfg, rng)
 
 
 @pytest.mark.parametrize("cfg_fn", [tiny_vit_config, tiny_rn_config])

@@ -121,11 +121,11 @@ class TestPixelDrawer:
 
 
 class TestFftDrawer:
-    def make(self, fft_use="fft"):
+    def make(self, fft_use="fft", fft_wave="haar"):
         from pixray_tpu.drawers.fft import FftDrawer
 
         settings = make_settings(
-            fft_use=fft_use, fft_decay=1.5, fft_wave="haar", fft_sharp=0.3,
+            fft_use=fft_use, fft_decay=1.5, fft_wave=fft_wave, fft_sharp=0.3,
             fft_colors=1.5, fft_lrate=0.3,
         )
         d = FftDrawer(settings)
@@ -154,6 +154,40 @@ class TestFftDrawer:
         z = d.params_from_image(jnp.asarray(target01) * 2 - 1)
         recon = np.asarray(d.synth(d.model_params, z, 0))
         assert np.abs(recon - target01).mean() < 0.05
+
+    @pytest.mark.parametrize("wave", ["coif2", "db4"])
+    def test_dwt_nonhaar_roundtrip(self, wave):
+        # the reference's default wavelet is coif2 (fftdrawer.py:19); the
+        # orthogonal-matmul filter bank must reconstruct exactly
+        d = self.make("dwt", fft_wave=wave)
+        rng = np.random.default_rng(1)
+        target01 = np.clip(rng.random((36, 64, 3)).astype(np.float32), 0.05, 0.95)
+        z = d.params_from_image(jnp.asarray(target01) * 2 - 1)
+        recon = np.asarray(d.synth(d.model_params, z, 0))
+        assert np.abs(recon - target01).mean() < 0.05
+
+        g = jax.grad(lambda z: jnp.sum(d.synth(d.model_params, z, 0)))(z)
+        assert all(jnp.any(leaf != 0) for leaf in jax.tree_util.tree_leaves(g))
+
+    def test_dwt_haar_matches_butterfly(self):
+        # the general filter bank with the haar filter must reproduce the
+        # classic (a±b±c±d)/2 butterfly bit-for-bit conventions
+        from pixray_tpu.drawers.fft import dwt2
+        from pixray_tpu.ops.wavelets import analysis_matrix, wavelet_filter
+
+        a8 = jnp.asarray(analysis_matrix(8, wavelet_filter("haar")), jnp.float32)
+        x = jnp.asarray(np.random.default_rng(2).standard_normal((3, 8, 8)), jnp.float32)
+        ll, (lh, hl, hh) = dwt2(x, a8, a8)
+        a, b = x[:, 0::2, 0::2], x[:, 0::2, 1::2]
+        c, dd = x[:, 1::2, 0::2], x[:, 1::2, 1::2]
+        np.testing.assert_allclose(np.asarray(ll), np.asarray((a + b + c + dd) / 2), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(lh), np.asarray((a - b + c - dd) / 2), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(hl), np.asarray((a + b - c - dd) / 2), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(hh), np.asarray((a - b - c + dd) / 2), atol=1e-5)
+
+    def test_unknown_wavelet_raises(self):
+        with pytest.raises(ValueError, match="not supported"):
+            self.make("dwt", fft_wave="nosuchwave")
 
 
 class TestStrokeDrawers:

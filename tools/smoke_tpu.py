@@ -61,6 +61,21 @@ def run_trajectory(steps=STEPS):
 def main():
     import numpy as np
 
+    ref = None
+    if "--emit-final" not in sys.argv and "--no-gate" not in sys.argv:
+        # the chip is a single EXCLUSIVE-access device: the reference
+        # subprocess must run (and exit) BEFORE this process creates its TPU
+        # client, or it blocks forever waiting for the device
+        env = dict(os.environ, PIXRAY_TPU_WARP_PREC="highest")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--emit-final"],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        if out.returncode != 0:
+            print(out.stdout + out.stderr, flush=True)
+            raise SystemExit("highest-precision reference trajectory failed")
+        ref = json.loads(out.stdout.strip().splitlines()[-1])
+
     losses = run_trajectory()
     first5 = float(np.mean(losses[:5]))
     last5 = float(np.mean(losses[-5:]))
@@ -73,17 +88,8 @@ def main():
     assert last5 < first5 - 0.01, "loss did not descend"
     print("CONVERGENCE OK", flush=True)
 
-    if "--no-gate" in sys.argv:
+    if ref is None:
         return 0
-    env = dict(os.environ, PIXRAY_TPU_WARP_PREC="highest")
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--emit-final"],
-        env=env, capture_output=True, text=True, timeout=3600,
-    )
-    if out.returncode != 0:
-        print(out.stdout + out.stderr, flush=True)
-        raise SystemExit("highest-precision reference trajectory failed")
-    ref = json.loads(out.stdout.strip().splitlines()[-1])
     gap = last5 - ref["last5"]
     print(f"gate: default last5={last5:.4f} highest last5={ref['last5']:.4f} "
           f"gap={gap:+.4f} (band {GATE_BAND})", flush=True)

@@ -230,14 +230,214 @@ def check_convergence(clip_model="ViT-B/32", iters=50, threshold=0.86):
     )
 
 
+def _tree_shapes(tree, prefix=""):
+    """Flatten a pytree to {path: shape} for exact structural comparison."""
+    import jax
+
+    out = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(str(p) for p in path)
+        out[key] = tuple(leaf.shape)
+    return out
+
+
+def _audit_family(name, converted, expected_tree, sd):
+    """Converted variables must match the module's init tree exactly, and the
+    converter must have consumed every signature key."""
+    got = _tree_shapes(converted)
+    want = _tree_shapes(expected_tree)
+    missing = sorted(set(want) - set(got))
+    extra = sorted(set(got) - set(want))
+    wrong = sorted(k for k in set(got) & set(want) if got[k] != want[k])
+    unread = sd.unread() if hasattr(sd, "unread") else []
+    ok = not (missing or extra or wrong or unread)
+    info = {"params": len(want)}
+    if missing:
+        info["missing"] = missing[:8]
+    if extra:
+        info["extra"] = extra[:8]
+    if wrong:
+        info["wrong_shape"] = [(k, got[k], want[k]) for k in wrong[:8]]
+    if unread:
+        info["unconsumed_ckpt_keys"] = unread[:8]
+    return _record(f"audit:{name}", ok, **info)
+
+
+def audit_converters():
+    """Asset-free converter audit: every checkpoint family's converter is run
+    against a spec'd synthetic signature (models/signatures.py) at REAL
+    configuration scale and must reproduce the model's init tree exactly.
+    Exits nonzero if any converter would mis-map a real checkpoint."""
+    import jax
+    import jax.numpy as jnp
+
+    from pixray_tpu.models import signatures as S
+
+    ok = True
+
+    # --- CLIP (OpenAI ViT + ModifiedResNet) and SLIP -----------------------
+    from pixray_tpu.models.clip.configs import CLIP_CONFIGS, SLIP_CONFIGS
+    from pixray_tpu.models.clip.convert import convert_openai_clip, convert_slip_clip
+    from pixray_tpu.models.clip.model import CLIP
+
+    def clip_init_tree(cfg):
+        model = CLIP(cfg, dtype=jnp.float32)
+        return jax.eval_shape(
+            model.init,
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.image_resolution, cfg.image_resolution, 3)),
+            jnp.zeros((1, cfg.context_length), jnp.int32),
+        )
+
+    for name in ("ViT-B/32", "ViT-B/16", "RN50"):
+        cfg = CLIP_CONFIGS[name]
+        sd = S.openai_clip_signature(cfg)
+        ok &= _audit_family(
+            f"clip:{name}", convert_openai_clip(sd, cfg), clip_init_tree(cfg), sd
+        )
+    for name in ("SLIP_VITS16",):
+        cfg = SLIP_CONFIGS[name]
+        sd = S.slip_clip_signature(cfg)
+        ok &= _audit_family(
+            f"slip:{name}", convert_slip_clip(sd, cfg), clip_init_tree(cfg), sd
+        )
+
+    # --- VQGAN (standard + Gumbel) ----------------------------------------
+    from pixray_tpu.models.vqgan import VQGAN, VQGAN_CONFIGS, convert_taming_vqgan
+
+    for name in ("imagenet_f16_16384", "openimages_f16_8192"):
+        cfg = VQGAN_CONFIGS[name]
+        sd = S.taming_vqgan_signature(cfg)
+        model = VQGAN(cfg, dtype=jnp.float32)
+        expected = jax.eval_shape(
+            model.init,
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.resolution, cfg.resolution, 3)),
+        )
+        ok &= _audit_family(
+            f"vqgan:{name}", convert_taming_vqgan(sd, cfg), expected, sd
+        )
+
+    # --- ESRGAN (RRDBNet) + a tiny real forward ----------------------------
+    from pixray_tpu.models.esrgan import RRDBNet, convert_rrdbnet
+
+    sd = S.rrdbnet_signature()
+    model = RRDBNet()
+    expected = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3))
+    )
+    variables = convert_rrdbnet(sd)
+    ok &= _audit_family("esrgan:rrdbnet_x4", variables, expected, sd)
+    out = np.asarray(model.apply(variables, jnp.zeros((1, 8, 8, 3))))
+    ok &= _record(
+        "audit:esrgan_forward",
+        bool(np.isfinite(out).all() and out.shape == (1, 32, 32, 3)),
+        out_shape=list(out.shape),
+    )
+
+    # --- VGG16 (torchvision features) + forward ----------------------------
+    from pixray_tpu.models.vgg import (
+        convert_torchvision_vgg16, init_vgg16_params, vgg16_features,
+    )
+
+    sd = S.vgg16_signature()
+    params = convert_torchvision_vgg16(sd)
+    expected = jax.eval_shape(lambda: init_vgg16_params(jax.random.PRNGKey(0)))
+    ok &= _audit_family("vgg16:features", params, expected, sd)
+    feats = vgg16_features(params, jnp.zeros((1, 64, 64, 3)))
+    ok &= _record(
+        "audit:vgg16_forward",
+        bool(all(np.isfinite(np.asarray(f)).all() for f in feats)),
+        n_feature_maps=len(feats),
+    )
+
+    # --- aesthetic head + resmem: exercise the real torch-file load path ---
+    import tempfile
+
+    import torch
+
+    with tempfile.TemporaryDirectory() as td:
+        old = os.environ.get("PIXRAY_TPU_MODELS")
+        os.environ["PIXRAY_TPU_MODELS"] = td
+        try:
+            torch.save(
+                {"weight": torch.zeros(1, 512) + 0.5, "bias": torch.zeros(1) + 0.25},
+                os.path.join(td, "ava_vit_b_16_linear.pth"),
+            )
+            from types import SimpleNamespace
+
+            from pixray_tpu.losses.aesthetic import AestheticLoss
+
+            al = AestheticLoss(SimpleNamespace())
+            ok &= _record(
+                "audit:aesthetic_head",
+                bool(
+                    al.weight.shape == (1, 512)
+                    and float(al.weight[0, 0]) == 0.5
+                    and float(al.bias[0]) == 0.25
+                ),
+                weight_shape=list(al.weight.shape),
+            )
+
+            from pixray_tpu.losses.resmem import ALEXNET_SPEC, ResmemLoss
+
+            rm_sd = {}
+            cin = 3
+            for i, (cout, k, _s, _p) in enumerate(ALEXNET_SPEC):
+                rm_sd[f"features.{i}.weight"] = torch.zeros(cout, cin, k, k) + 0.1
+                rm_sd[f"features.{i}.bias"] = torch.zeros(cout)
+                cin = cout
+            torch.save(rm_sd, os.path.join(td, "resmem_model.pt"))
+            rl = ResmemLoss(SimpleNamespace())
+            mapped = sum(
+                abs(float(np.asarray(rl.alex_params[f"conv{i}"]["kernel"]).flatten()[0]) - 0.1) < 1e-6
+                for i in range(len(ALEXNET_SPEC))
+            )
+            ok &= _record(
+                "audit:resmem_alexnet",
+                mapped == len(ALEXNET_SPEC),
+                mapped=int(mapped),
+                expected=len(ALEXNET_SPEC),
+            )
+        finally:
+            if old is None:
+                os.environ.pop("PIXRAY_TPU_MODELS", None)
+            else:
+                os.environ["PIXRAY_TPU_MODELS"] = old
+
+    # --- vdiff: spec-derived signatures for every reference model name -----
+    from pixray_tpu.models.vdiff_upstream import (
+        PUBLISHED_PARAM_COUNTS_M, UPSTREAM_SPECS, expected_state_shapes,
+    )
+
+    for name, spec in UPSTREAM_SPECS.items():
+        try:
+            shapes = expected_state_shapes(spec)
+            total = sum(int(np.prod(s)) for s in shapes.values())
+            want = PUBLISHED_PARAM_COUNTS_M.get(name)
+            close = want is None or abs(total - want * 1e6) / (want * 1e6) < 0.01
+            ok &= _record(
+                f"audit:vdiff:{name}", close,
+                params=total, published_M=want,
+            )
+        except Exception as e:
+            ok &= _record(f"audit:vdiff:{name}", False, error=str(e)[:200])
+
+    return ok
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--report", default="WEIGHTS_PARITY.json")
     ap.add_argument("--clip", default="ViT-B/32")
     ap.add_argument("--vqgan", default="imagenet_f16_16384")
+    ap.add_argument("--no-audit", action="store_true",
+                    help="skip the asset-free converter audit")
     args = ap.parse_args()
 
     ok = True
+    if not args.no_audit:
+        ok &= audit_converters()
     ok &= check_clip_parity(args.clip)
     ok &= check_vqgan_decode(args.vqgan)
     ok &= check_convergence(args.clip)

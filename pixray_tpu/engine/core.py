@@ -475,21 +475,25 @@ class Engine:
         Returns BLOCK_STEPS only when no host event interrupts the block:
         post-step events (checkin/save_every, LR drops, session checkpoints) may
         fall only on the block's LAST iteration; pre-step events (overlay) may
-        not fall inside it at all.  Per-iteration host features (animation,
-        video frames, vdiff re-noise, auto_stop's prompt LR decisions) disable
-        blocking entirely.  --steps_per_call 1 forces single-step."""
+        not fall inside it at all.  Per-iteration host features (video frames,
+        vdiff re-noise, auto_stop's prompt LR decisions) disable blocking
+        entirely.  Animation blocks fine — anim_index is an argument of the
+        jitted step and a frame's save_every-step span has no interior host
+        events — but a block must never cross the span's end (the frame loop
+        swaps self.z between frames).  --steps_per_call 1 forces single-step."""
         args = self.args
         if getattr(args, "steps_per_call", 0) == 1:
             return 1
         n = self.BLOCK_STEPS if args.steps_per_call == 0 else args.steps_per_call
         if (
-            self.cur_anim_index is not None
-            or args.make_video
+            args.make_video
             or args.auto_stop
             or hasattr(self.drawer, "post_step")
         ):
             return 1
         n = min(n, args.iterations - cur_it)
+        if self.cur_anim_index is not None:
+            n = min(n, args.save_every - (cur_it % args.save_every))
         if n < 2:
             return 1
         for it in range(cur_it, cur_it + n - 1):  # post-step events: all but last

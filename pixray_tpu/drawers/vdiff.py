@@ -53,6 +53,7 @@ class VdiffDrawer(DrawingInterface):
         self.vdiff_skip = settings.vdiff_skip
         self.clip_embed = None
         self.learning_rate = 0.01  # replaced per-step by post_step
+        self._post_fn = None  # jitted re-noise step (params as arguments)
 
     def load_model(self, settings):
         self.model, variables, self.config = load_vdiff_model(self.vdiff_model)
@@ -74,15 +75,23 @@ class VdiffDrawer(DrawingInterface):
         self.sample_state = sample_setup(self._model_fn, steps, self.eta, {})
 
     def _model_fn(self, x, t, extra):
+        variables = extra.get("params", None)
+        if variables is None:
+            variables = self.model_params["unet"]
         clip_embed = extra.get("clip_embed", self.clip_embed)
         return self.model.apply(
-            self._variables, x, jnp.atleast_1d(t),
+            variables, x, jnp.atleast_1d(t),
             clip_embed if self.config.clip_model else None,
         )
 
     def set_clip_embed(self, clip_embed):
-        """Weighted prompt embedding for cc12m conditioning (pixray.py:879-885)."""
+        """Weighted prompt embedding for cc12m conditioning (pixray.py:879-885).
+
+        Stored inside model_params so it rides the jitted step as an ARGUMENT
+        (refs pytree) — a plain attribute would be traced into compiled graphs
+        as a constant and go stale if re-set afterwards."""
         self.clip_embed = jnp.asarray(clip_embed)
+        self.model_params = dict(self.model_params, clip_embed=self.clip_embed)
 
     # ------------------------------------------------------------------ latents
     def init_params(self, key, init_tensor=None):
@@ -108,9 +117,19 @@ class VdiffDrawer(DrawingInterface):
     def _variables(self):
         return self.model_params["unet"]
 
+    def _extra(self, model_params):
+        extra = {"params": model_params["unet"]}
+        if "clip_embed" in model_params:
+            extra["clip_embed"] = model_params["clip_embed"]
+        return extra
+
     def synth(self, model_params, z, iteration, key=None):
-        self.model_params = model_params  # keep _model_fn consistent under jit
-        pred, _v = sample_step(self.sample_state, z, iteration)
+        # params flow through sample_step's extra_args — assigning them to
+        # self here would leak tracers into drawer state under jit AND turn
+        # the weights into jaxpr constants in any closure-jitted caller
+        pred, _v = sample_step(
+            self.sample_state, z, iteration, self._extra(model_params)
+        )
         pixels = clamp_with_grad((pred + 1.0) / 2.0, 0.0, 1.0)[0]
         my = (self.gen_height - self.canvas_height) // 2
         mx = (self.gen_width - self.canvas_width) // 2
@@ -132,7 +151,16 @@ class VdiffDrawer(DrawingInterface):
         lr = float(sigmas[cur_it] / jnp.maximum(alphas[cur_it], 1e-8))
         self.learning_rate = min(lr * 0.001, 0.01)
 
-        key = jax.random.PRNGKey(cur_it)
-        pred, v = sample_step(self.sample_state, z, cur_it)
-        new_x = sample_noise(self.sample_state, z, cur_it, pred, v, key)
-        return jax.lax.stop_gradient(new_x)
+        if self._post_fn is None:
+            def _post(model_params, z, i, key):
+                extra = self._extra(model_params)
+                pred, v = sample_step(self.sample_state, z, i, extra)
+                new_x = sample_noise(self.sample_state, z, i, pred, v, key)
+                return jax.lax.stop_gradient(new_x)
+
+            # ONE compiled graph for every re-noise step (i is traced);
+            # weights/conditioning are arguments, never captured constants
+            self._post_fn = jax.jit(_post)
+        return self._post_fn(
+            self.model_params, z, jnp.asarray(cur_it), jax.random.PRNGKey(cur_it)
+        )

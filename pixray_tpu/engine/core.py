@@ -375,9 +375,11 @@ class Engine:
         self._block = None  # buffered per-step results of the in-flight block
         self._next_block = None  # speculatively dispatched following block
         self._display_streaming = False  # run(return_display=True) sets this
+        # drawer params travel as an ARGUMENT: closure-captured weights become
+        # jaxpr constants (3.9GB for yfcc_2 vdiff), which bloats lowering and
+        # exceeds remote-compile request size limits
         self._synth = jax.jit(
-            lambda z, it, key: self.drawer.synth(self.refs["drawer_params"], z, it, key),
-            static_argnums=(),
+            lambda params, z, it, key: self.drawer.synth(params, z, it, key)
         )
 
         self.cur_iteration = 0
@@ -427,7 +429,7 @@ class Engine:
         """Current canvas as PIL (through filters? no — raw drawer output, like
         reference do_synth_and_filter(to_file=True) minus stochastic filters)."""
         it = self.cur_iteration if iteration is None else iteration
-        out = self._synth(self.z, it, jax.random.PRNGKey(0))
+        out = self._synth(self.refs["drawer_params"], self.z, it, jax.random.PRNGKey(0))
         arr = np.asarray(out)
         if arr.shape[-1] == 4 and not self.args.transparent:
             arr = arr[..., :3]

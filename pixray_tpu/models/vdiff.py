@@ -87,10 +87,14 @@ def sample_setup(model_fn, steps, eta=1.0, extra_args=None) -> SampleState:
     )
 
 
-def sample_step(state: SampleState, x, i):
-    """One exposed-pred sampler step. i may be traced. Returns (pred, v)."""
+def sample_step(state: SampleState, x, i, extra_args=None):
+    """One exposed-pred sampler step. i may be traced. Returns (pred, v).
+
+    ``extra_args`` overrides ``state.extra_args`` for this call — the vdiff
+    drawer threads the (traced) model params through here so the jitted step
+    sees them as arguments, never as closure-captured jaxpr constants."""
     t = state.steps[i]
-    v = state.model_fn(x, t, state.extra_args)
+    v = state.model_fn(x, t, state.extra_args if extra_args is None else extra_args)
     alpha, sigma = state.alphas[i], state.sigmas[i]
     pred = x * alpha - v * sigma
     return pred, v

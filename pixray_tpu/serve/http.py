@@ -1,9 +1,16 @@
-"""Minimal streaming HTTP serving front end (stdlib-only).
+"""Streaming HTTP serving front end (stdlib-only).
 
 The reference serves through the external ``cog`` HTTP harness; this module
 provides the equivalent surface without it: POST /predictions/<product> with a
 JSON body of predictor kwargs; the response streams one multipart PNG part per
 intermediate image (the return_display streaming contract).
+
+Serving architecture for a single exclusive accelerator: a ThreadingHTTPServer
+handles I/O concurrently (health checks and queued clients are never blocked
+by a running render), while ONE worker thread owns the device and drains a
+bounded job queue — requests beyond the queue bound are rejected with 503 +
+Retry-After (backpressure) instead of piling up.  Per-product predictors are
+cached after their first setup() so subsequent requests skip model re-init.
 
     python -m pixray_tpu.serve.http --port 5000
     curl -X POST localhost:5000/predictions/text2image \
@@ -14,11 +21,63 @@ from __future__ import annotations
 
 import argparse
 import json
-from http.server import BaseHTTPRequestHandler, HTTPServer
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pixray_tpu.serve.predictors import PRODUCTS
 
 BOUNDARY = "pixrayframe"
+MAX_PENDING = 4  # bounded job queue: beyond this, reject with 503
+
+
+class _Job:
+    def __init__(self, product: str, kwargs: dict):
+        self.product = product
+        self.kwargs = kwargs
+        self.frames: queue.Queue = queue.Queue()  # file paths; (None, err) ends
+
+
+class _Worker(threading.Thread):
+    """Single thread that owns the device; drains the job queue in order."""
+
+    def __init__(self, max_pending: int = MAX_PENDING):
+        super().__init__(daemon=True)
+        self.jobs: queue.Queue = queue.Queue(maxsize=max_pending)
+        self._predictors: dict = {}
+
+    def submit(self, job: _Job) -> bool:
+        try:
+            self.jobs.put_nowait(job)
+            return True
+        except queue.Full:
+            return False
+
+    def run(self):
+        while True:
+            job = self.jobs.get()
+            try:
+                predictor = self._predictors.get(job.product)
+                if predictor is None:
+                    predictor = PRODUCTS[job.product]()
+                    predictor.setup()
+                    self._predictors[job.product] = predictor
+                for path in predictor.predict(**job.kwargs):
+                    job.frames.put((path, None))
+                job.frames.put((None, None))
+            except Exception as e:  # surface the error to the waiting client
+                job.frames.put((None, f"{type(e).__name__}: {e}"))
+
+
+_worker: _Worker | None = None
+
+
+def get_worker() -> _Worker:
+    global _worker
+    if _worker is None:
+        _worker = _Worker()
+        _worker.start()
+    return _worker
 
 
 class PredictionHandler(BaseHTTPRequestHandler):
@@ -32,6 +91,14 @@ class PredictionHandler(BaseHTTPRequestHandler):
             self.send_header("Content-Type", "application/json")
             self.end_headers()
             self.wfile.write(json.dumps(sorted(PRODUCTS)).encode())
+        elif self.path == "/queue":
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(
+                json.dumps({"pending": get_worker().jobs.qsize(),
+                            "capacity": MAX_PENDING}).encode()
+            )
         else:
             self.send_error(404)
 
@@ -45,16 +112,32 @@ class PredictionHandler(BaseHTTPRequestHandler):
             return
         length = int(self.headers.get("Content-Length", 0))
         body = self.rfile.read(length) if length else b"{}"
-        kwargs = json.loads(body or "{}")
+        try:
+            kwargs = json.loads(body or "{}")
+        except json.JSONDecodeError as e:
+            self.send_error(400, f"bad JSON body: {e}")
+            return
+
+        job = _Job(product, kwargs)
+        if not get_worker().submit(job):
+            self.send_response(503, "queue full")
+            self.send_header("Retry-After", "30")
+            self.end_headers()
+            return
 
         self.send_response(200)
         self.send_header("Content-Type", f"multipart/x-mixed-replace; boundary={BOUNDARY}")
         self.end_headers()
-
-        predictor = PRODUCTS[product]()
-        predictor.setup()
         try:
-            for path in predictor.predict(**kwargs):
+            while True:
+                path, err = job.frames.get()
+                if path is None:
+                    if err:
+                        self.wfile.write(f"--{BOUNDARY}\r\n".encode())
+                        self.wfile.write(b"Content-Type: text/plain\r\n\r\n")
+                        self.wfile.write(err.encode())
+                        self.wfile.write(b"\r\n")
+                    break
                 data = open(path, "rb").read()
                 self.wfile.write(f"--{BOUNDARY}\r\n".encode())
                 self.wfile.write(b"Content-Type: image/png\r\n")
@@ -63,7 +146,11 @@ class PredictionHandler(BaseHTTPRequestHandler):
                 self.wfile.write(b"\r\n")
                 self.wfile.flush()
         except BrokenPipeError:
-            pass
+            # client gone: keep draining so the worker never blocks on a
+            # full frame queue for a dead connection
+            while job.frames.get()[0] is not None:
+                pass
+            return
         self.wfile.write(f"--{BOUNDARY}--\r\n".encode())
 
 
@@ -72,7 +159,8 @@ def main():
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=5000)
     args = parser.parse_args()
-    server = HTTPServer((args.host, args.port), PredictionHandler)
+    get_worker()  # start the device-owning worker before accepting traffic
+    server = ThreadingHTTPServer((args.host, args.port), PredictionHandler)
     print(f"pixray_tpu serving on {args.host}:{args.port} — products: {sorted(PRODUCTS)}")
     server.serve_forever()
 

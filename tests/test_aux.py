@@ -275,5 +275,18 @@ class TestHttpServing:
             body = resp.read()
             assert body.count(b"Content-Type: image/png") >= 1
             assert b"\x89PNG" in body
+
+            conn.request("GET", "/queue")
+            q = conn.getresponse().read()
+            assert b"pending" in q and b"capacity" in q
         finally:
             server.shutdown()
+
+    def test_bounded_queue_backpressure(self):
+        """The device-owning worker's queue is bounded: submissions beyond
+        capacity are rejected (the handler turns that into 503+Retry-After)."""
+        from pixray_tpu.serve.http import _Job, _Worker
+
+        w = _Worker(max_pending=1)  # not started: jobs stay queued
+        assert w.submit(_Job("text2image", {})) is True
+        assert w.submit(_Job("text2image", {})) is False

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import os
 
 from pixray_tpu.ops import warp as W
-from pixray_tpu.ops.color import random_color_jitter, random_color_jitter_nchw
+from pixray_tpu.ops.color import random_color_jitter, random_color_jitter_planes
 from pixray_tpu.ops.pool import adaptive_avg_pool, adaptive_max_pool
 from pixray_tpu.ops.warp_batch import warp_batch as _xla_warp_batch
 from pixray_tpu.ops.warp_batch import warp_batch_modes as _xla_warp_batch_modes
@@ -394,14 +394,41 @@ def render_cutouts(
         if compute_dtype is not None:
             batch = batch.astype(compute_dtype)
 
+    if nchw:
+        # plane-form epilogue: jitter select + noise run per channel plane and
+        # the bank is stacked ONCE at the end, so XLA fuses each plane's whole
+        # elementwise chain straight into the concat (the stacked-bank form
+        # paid separate full-bank passes for stack → select → noise — ~1.1
+        # ms/step of the flagship profile).  Per-plane noise keys draw the
+        # same iid gaussian distribution as one full-bank draw (values differ
+        # bitwise from the stacked path; nothing pins them — the smoke gate
+        # compares trajectories of the same code at two precisions).
+        r, g, b = batch[:, 0], batch[:, 1], batch[:, 2]
+        if jitter_key is not None:
+            keys = jax.random.split(jitter_key, batch.shape[0])
+            r, g, b = random_color_jitter_planes(
+                keys, r, g, b, hue=0.1, saturation=0.1, p=0.8
+            )
+        if NOISE_FAC:
+            k_fac, k_noise = jax.random.split(noise_key)
+            facs = jax.random.uniform(
+                k_fac, (batch.shape[0], 1, 1), maxval=NOISE_FAC, dtype=batch.dtype
+            )
+            planes = []
+            for plane, kp in zip((r, g, b), jax.random.split(k_noise, 3)):
+                planes.append(
+                    plane + facs * jax.random.normal(kp, plane.shape, dtype=plane.dtype)
+                )
+            r, g, b = planes
+        # channel-major banks stay in compute dtype for the perceptor (which
+        # computes in bf16 anyway)
+        return jnp.stack([r, g, b], axis=1)
+
     if jitter_key is not None:
         keys = jax.random.split(jitter_key, batch.shape[0])
-        if nchw:
-            batch = random_color_jitter_nchw(keys, batch, hue=0.1, saturation=0.1, p=0.8)
-        else:
-            batch = jax.vmap(partial(random_color_jitter, hue=0.1, saturation=0.1, p=0.8))(
-                keys, batch
-            )
+        batch = jax.vmap(partial(random_color_jitter, hue=0.1, saturation=0.1, p=0.8))(
+            keys, batch
+        )
 
     if NOISE_FAC:
         k_fac, k_noise = jax.random.split(noise_key)
@@ -409,9 +436,8 @@ def render_cutouts(
             k_fac, (batch.shape[0], 1, 1, 1), maxval=NOISE_FAC, dtype=batch.dtype
         )
         batch = batch + facs * jax.random.normal(k_noise, batch.shape, dtype=batch.dtype)
-    # channel-major banks stay in compute dtype for the perceptor (which
-    # computes in bf16 anyway); the channels-last path keeps its f32 contract
-    return batch if nchw else batch.astype(jnp.float32)
+    # the channels-last path keeps its f32 contract
+    return batch.astype(jnp.float32)
 
 
 def make_cutouts(

@@ -116,11 +116,28 @@ def random_color_jitter_nchw(keys, batch, hue=0.1, saturation=0.1, p=0.8):
     Identical per-image values to ``vmap(random_color_jitter)`` on the
     channels-last transpose (same key→parameter mapping, same plane math) —
     the layout is the only difference."""
+    r, g, b = random_color_jitter_planes(
+        keys, batch[:, 0], batch[:, 1], batch[:, 2], hue=hue, saturation=saturation, p=p
+    )
+    return jnp.stack([r, g, b], axis=1)
+
+
+def random_color_jitter_planes(keys, r, g, b, hue=0.1, saturation=0.1, p=0.8):
+    """Plane-form bank jitter: (N,) keys, three (N, H, W) channel planes in,
+    three planes out.  Same per-image parameter draws and plane math as
+    :func:`random_color_jitter_nchw`; staying in plane form lets the caller
+    keep the whole post-warp epilogue (jitter select + noise) as per-plane
+    elementwise chains that XLA fuses into the final channel stack, instead
+    of paying separate full-bank passes for stack → select → noise."""
     hs, sf, apply = jax.vmap(
         lambda k: _draw_jitter_params(k, hue, saturation, p)
     )(keys)
     hs = hs[:, None, None]
     sf = sf[:, None, None]
-    r, g, b = _jitter_planes(batch[:, 0], batch[:, 1], batch[:, 2], hs, sf)
-    out = jnp.stack([r, g, b], axis=1)
-    return jnp.where(apply[:, None, None, None], out, batch)
+    ap = apply[:, None, None]
+    ro, go, bo = _jitter_planes(r, g, b, hs, sf)
+    return (
+        jnp.where(ap, ro, r),
+        jnp.where(ap, go, g),
+        jnp.where(ap, bo, b),
+    )

@@ -34,7 +34,10 @@ from pixray_tpu.ops.warp import inv3x3
 from pixray_tpu.ops.warp_batch import _source_coords
 
 # defaults, overridable per call; env knobs kept for benchmarking sweeps
-K_TILE = int(os.environ.get("PIXRAY_TPU_WARP_KTILE", "512"))
+# (k_tile=1024 swept best on v5e for the flagship 224² bank: 52.9 vs 50.5
+# steps/s against 256/512 at equal calib — fewer grid steps amortize the
+# per-chunk hat construction better once the band plan caps VMEM)
+K_TILE = int(os.environ.get("PIXRAY_TPU_WARP_KTILE", "1024"))
 # flagship step cost on v5e by warp matmul mode: "bf16" 80 ms/step, "high"
 # (error-compensated bf16, ~f32-exact) 132, exact-f32 "highest" 206.  bf16's
 # ~1e-2 output quantization sits far below the noise_fac=0.1 augmentation noise

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import queue
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -29,6 +30,7 @@ from pixray_tpu.serve.predictors import PRODUCTS
 
 BOUNDARY = "pixrayframe"
 MAX_PENDING = 4  # bounded job queue: beyond this, reject with 503
+JOB_TIMEOUT_S = float(os.environ.get("PIXRAY_TPU_JOB_TIMEOUT", "600"))
 
 
 class _Job:
@@ -36,14 +38,27 @@ class _Job:
         self.product = product
         self.kwargs = kwargs
         self.frames: queue.Queue = queue.Queue()  # file paths; (None, err) ends
+        self.cancelled = threading.Event()  # deadline hit: runner must stop
 
 
 class _Worker(threading.Thread):
-    """Single thread that owns the device; drains the job queue in order."""
+    """Single thread that owns the device; drains the job queue in order.
 
-    def __init__(self, max_pending: int = MAX_PENDING):
+    Each job runs in a helper thread bounded by ``job_timeout`` seconds.  A
+    render that exceeds the deadline (a bad config stuck in model load, an
+    engine wedged in compile) is cancelled: its client receives a timeout
+    error part and the worker moves on to the next job, so one bad request can
+    never wedge the queue into permanently 503-ing everyone.  Cancellation is
+    cooperative — the runner stops iterating at the next yielded frame; a
+    runner blocked INSIDE a single device call is abandoned (daemon thread)
+    and the next job proceeds, competing for the device at worst.
+    """
+
+    def __init__(self, max_pending: int = MAX_PENDING,
+                 job_timeout: float = JOB_TIMEOUT_S):
         super().__init__(daemon=True)
         self.jobs: queue.Queue = queue.Queue(maxsize=max_pending)
+        self.job_timeout = job_timeout
         self._predictors: dict = {}
 
     def submit(self, job: _Job) -> bool:
@@ -53,20 +68,36 @@ class _Worker(threading.Thread):
         except queue.Full:
             return False
 
+    def _run_job(self, job: _Job) -> None:
+        try:
+            predictor = self._predictors.get(job.product)
+            if predictor is None:
+                predictor = PRODUCTS[job.product]()
+                predictor.setup()
+                self._predictors[job.product] = predictor
+            for path in predictor.predict(**job.kwargs):
+                if job.cancelled.is_set():
+                    return  # deadline already reported to the client
+
+                job.frames.put((path, None))
+            job.frames.put((None, None))
+        except Exception as e:  # surface the error to the waiting client
+            if not job.cancelled.is_set():
+                job.frames.put((None, f"{type(e).__name__}: {e}"))
+
     def run(self):
         while True:
             job = self.jobs.get()
-            try:
-                predictor = self._predictors.get(job.product)
-                if predictor is None:
-                    predictor = PRODUCTS[job.product]()
-                    predictor.setup()
-                    self._predictors[job.product] = predictor
-                for path in predictor.predict(**job.kwargs):
-                    job.frames.put((path, None))
-                job.frames.put((None, None))
-            except Exception as e:  # surface the error to the waiting client
-                job.frames.put((None, f"{type(e).__name__}: {e}"))
+            runner = threading.Thread(target=self._run_job, args=(job,),
+                                      daemon=True)
+            runner.start()
+            runner.join(self.job_timeout)
+            if runner.is_alive():
+                job.cancelled.set()
+                job.frames.put(
+                    (None, f"TimeoutError: render exceeded the "
+                           f"{self.job_timeout:g}s job deadline")
+                )
 
 
 _worker: _Worker | None = None

@@ -63,10 +63,12 @@ class TestCheckpointResume:
         assert not np.array_equal(np.asarray(engine2.z), z_saved)
 
     def test_schema_and_drawer_validation(self, tmp_path):
-        import pickle
-
         from pixray_tpu.engine import checkpoint as ckpt_mod
-        from pixray_tpu.engine.checkpoint import restore_session, save_session
+        from pixray_tpu.engine.checkpoint import (
+            read_manifest,
+            restore_session,
+            save_session,
+        )
 
         pixray.reset_settings()
         pixray.add_settings(**tiny_settings(tmp_path, iterations=4))
@@ -74,24 +76,51 @@ class TestCheckpointResume:
         path = str(tmp_path / "v.ckpt")
         save_session(path, engine)
 
-        with open(path, "rb") as f:
-            state = pickle.load(f)
+        state = read_manifest(path)
         assert state["schema_version"] == ckpt_mod.SCHEMA_VERSION
         assert state["jax_version"]
         assert state["drawer"] == type(engine.drawer).__name__
 
-        state["schema_version"] = -1
-        with open(path, "wb") as f:
-            pickle.dump(state, f)
+        def tamper(**edits):
+            with np.load(path, allow_pickle=False) as z:
+                arrays = {name: z[name] for name in z.files}
+            manifest = dict(state, **edits)
+            arrays["manifest"] = ckpt_mod._manifest_bytes(manifest)
+            np.savez(open(path, "wb"), **arrays)
+
+        tamper(schema_version=-1)
         with pytest.raises(ValueError, match="schema mismatch"):
             restore_session(path, engine)
 
-        state["schema_version"] = ckpt_mod.SCHEMA_VERSION
-        state["drawer"] = "SomethingElse"
-        with open(path, "wb") as f:
-            pickle.dump(state, f)
+        tamper(drawer="SomethingElse")
         with pytest.raises(ValueError, match="drawer"):
             restore_session(path, engine)
+
+    def test_restore_never_unpickles(self, tmp_path):
+        """A malicious pickle (or pickled npz) fails to parse instead of
+        executing: restore_session loads with allow_pickle=False only."""
+        import pickle
+
+        from pixray_tpu.engine.checkpoint import restore_session
+
+        class Boom:
+            def __reduce__(self):
+                return (os.system, ("touch " + str(tmp_path / "pwned"),))
+
+        evil = tmp_path / "evil.ckpt"
+        with open(evil, "wb") as f:
+            pickle.dump({"schema_version": 3, "payload": Boom()}, f)
+        with pytest.raises(Exception):
+            restore_session(str(evil), engine=None)
+        assert not (tmp_path / "pwned").exists()
+
+        # an npz whose arrays are object-dtype pickles is also refused
+        evil2 = tmp_path / "evil2.ckpt"
+        np.savez(open(evil2, "wb"),
+                 manifest=np.array({"schema_version": 3}, dtype=object))
+        with pytest.raises(Exception):
+            restore_session(str(evil2), engine=None)
+        assert not (tmp_path / "pwned").exists()
 
     def test_checkpoint_every_setting(self, tmp_path):
         pixray.reset_settings()
@@ -290,3 +319,87 @@ class TestHttpServing:
         w = _Worker(max_pending=1)  # not started: jobs stay queued
         assert w.submit(_Job("text2image", {})) is True
         assert w.submit(_Job("text2image", {})) is False
+
+    def test_job_deadline_unwedges_queue(self, monkeypatch):
+        """A render stuck past the per-job deadline is cancelled (client gets
+        a timeout error part) and the worker keeps draining later jobs."""
+        import time
+
+        from pixray_tpu.serve import http as H
+
+        class StuckPredictor:
+            def setup(self):
+                pass
+
+            def predict(self, **kw):
+                time.sleep(30)  # wedged inside one device call, never yields
+                yield "never"
+
+        class QuickPredictor:
+            def setup(self):
+                pass
+
+            def predict(self, **kw):
+                yield from []
+
+        monkeypatch.setitem(H.PRODUCTS, "stuck", StuckPredictor)
+        monkeypatch.setitem(H.PRODUCTS, "quick", QuickPredictor)
+        w = H._Worker(max_pending=2, job_timeout=0.2)
+        w.start()
+        j1, j2 = H._Job("stuck", {}), H._Job("quick", {})
+        assert w.submit(j1) and w.submit(j2)
+        path, err = j1.frames.get(timeout=10)
+        assert path is None and "deadline" in err
+        path, err = j2.frames.get(timeout=10)  # queue kept draining
+        assert path is None and err is None
+
+    def test_slow_job_backpressure_http(self, monkeypatch):
+        """While a slow render occupies the worker and the queue is full,
+        the next HTTP client gets 503 + Retry-After (then the slow job is
+        released and queued clients complete)."""
+        import http.client
+        import threading
+        from http.server import ThreadingHTTPServer
+
+        from pixray_tpu.serve import http as H
+
+        release = threading.Event()
+
+        class SlowPredictor:
+            def setup(self):
+                pass
+
+            def predict(self, **kw):
+                release.wait(30)
+                yield from []
+
+        monkeypatch.setitem(H.PRODUCTS, "slow", SlowPredictor)
+        w = H._Worker(max_pending=1, job_timeout=60)
+        w.start()
+        monkeypatch.setattr(H, "get_worker", lambda: w)
+
+        server = ThreadingHTTPServer(("127.0.0.1", 0), H.PredictionHandler)
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        try:
+            def post():
+                c = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+                c.request("POST", "/predictions/slow", body=b"{}")
+                return c
+
+            c1 = post()  # dequeued by the worker, running (blocked on release)
+            import time
+
+            time.sleep(0.3)  # let the worker dequeue c1's job
+            c2 = post()  # sits in the bounded queue (capacity 1)
+            time.sleep(0.1)
+            c3 = post()  # queue full → backpressure
+            r3 = c3.getresponse()
+            assert r3.status == 503
+            assert r3.getheader("Retry-After")
+
+            release.set()
+            assert c1.getresponse().status == 200
+            assert c2.getresponse().status == 200
+        finally:
+            server.shutdown()

@@ -57,6 +57,67 @@ class TestPartition:
         stage_anim_shard(frames, 1, str(tmp_path / "stage"))
 
 
+class TestRunPaths:
+    """The code a multi-host user actually executes: run_seed_shard /
+    run_anim_shard drive real engine sessions over this host's shard."""
+
+    @pytest.mark.slow
+    def test_run_seed_shard_e2e(self, tmp_path):
+        import numpy as np
+        from PIL import Image
+
+        from pixray_tpu.parallel.sweep import run_seed_shard
+        from tests.test_e2e import tiny_settings
+
+        base = tiny_settings(tmp_path, iterations=2, save_every=1,
+                             display_every=1)
+        base.pop("seed")
+        base.pop("outdir")
+        run_seed_shard(base, [3, 4], str(tmp_path / "sweep" / "%SEED%"))
+
+        images = {}
+        for seed in (3, 4):
+            outdir = tmp_path / "sweep" / str(seed)
+            pngs = sorted(outdir.glob("*.png"))
+            assert pngs, f"no output written for seed {seed}"
+            img = Image.open(pngs[0])
+            # PNG provenance records the per-session seed
+            assert img.text["pixray_seed_used"] == str(seed)
+            images[seed] = np.asarray(img)
+        assert not np.array_equal(images[3], images[4])
+
+    @pytest.mark.slow
+    def test_run_anim_shard_e2e(self, tmp_path):
+        import os as _os
+
+        from PIL import Image
+
+        from pixray_tpu.parallel.sweep import run_anim_shard
+        from tests.test_e2e import tiny_settings
+
+        frames_dir = tmp_path / "frames"
+        frames_dir.mkdir()
+        colors = [(255, 0, 0, 120), (0, 255, 0, 120),
+                  (0, 0, 255, 120), (255, 255, 0, 120)]
+        for i, c in enumerate(colors):
+            Image.new("RGBA", (64, 36), c).save(frames_dir / f"f{i}.png")
+
+        base = tiny_settings(tmp_path, iterations=4, save_every=2,
+                             overlay_every="2i")
+        base.pop("outdir")
+        # host 1 of 2 stages + trains the span [f2, f3]
+        mine = run_anim_shard(base, str(frames_dir / "f*.png"), 2, 1,
+                              "overlay_image", str(tmp_path / "stage"),
+                              dry_run=False)
+        assert [_os.path.basename(f) for f in mine] == ["f2.png", "f3.png"]
+        anim_out = tmp_path / "stage" / "anim_out_1"
+        for name in ("f2.png", "f3.png"):
+            assert (anim_out / name).exists(), f"frame output {name} missing"
+        # the staged shard contains exactly this host's span
+        staged = sorted(_os.listdir(tmp_path / "stage" / "anim_shard_1"))
+        assert staged == ["f2.png", "f3.png"]
+
+
 class TestCLIPlan:
     def test_dry_run_plan_no_jax(self, tmp_path):
         """--dry_run prints the plan without importing jax (cheap on any host)."""

@@ -28,7 +28,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import numpy as np
 from jax.sharding import Mesh
 
-from pixray_tpu.parallel.dryrun import run_sharded_step
+from pixray_tpu.parallel.dryrun import run_parity, run_sharded_step
 from pixray_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
@@ -39,8 +39,12 @@ def main():
         return 1
     mesh = Mesh(np.asarray(devices[:1]).reshape(1, 1), (DATA_AXIS, MODEL_AXIS))
     total = run_sharded_step(mesh, num_cuts=16)
+    # trajectory parity on the real backend: the sharded and unsharded graphs
+    # must agree on this hardware too, not just on virtual CPU meshes
+    rep = run_parity(mesh, num_cuts=16)
     print(f"tpu_mesh_smoke OK: sharded step executed on {devices[0]}, "
-          f"loss={total:.4f}", flush=True)
+          f"loss={total:.4f}; sharded-vs-unsharded parity "
+          f"lossΔ={rep['loss_delta']:.1e} zΔ={rep['z_delta']:.1e}", flush=True)
     return 0
 
 

@@ -123,17 +123,49 @@ class LayerNorm(nn.Module):
         return (y * scale + bias).astype(orig_dtype)
 
 
+class QuantDense(nn.Module):
+    """Dense with an optional int8-forward/bf16-backward matmul.
+
+    Parameter names/layout match nn.Dense exactly (the weight converters are
+    untouched); ``quant='none'`` reproduces nn.Dense's compute-dtype math
+    bitwise.  ``quant='int8'`` routes the forward through
+    ops/quant.int8_matmul — the same dynamic-quantization rung (and the same
+    numerics-gate guard) as the warp kernel's int8 forward."""
+
+    features: int
+    dtype: Any = jnp.float32
+    quant: str = "none"
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features)
+        )
+        if self.quant == "int8":
+            from pixray_tpu.ops.quant import int8_matmul
+
+            y = int8_matmul(x, kernel).astype(self.dtype)
+        else:
+            y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class MultiHeadAttention(nn.Module):
     """Packed-qkv multi-head attention (torch nn.MultiheadAttention layout)."""
 
     num_heads: int
     dtype: Any = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, mask=None):
         # x: (B, T, D)
         d = x.shape[-1]
-        qkv = nn.Dense(3 * d, dtype=self.dtype, name="in_proj")(x)
+        qkv = QuantDense(3 * d, dtype=self.dtype, quant=self.quant, name="in_proj")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         b, t, _ = x.shape
@@ -165,24 +197,25 @@ class MultiHeadAttention(nn.Module):
                 q, k, v, is_causal=(mask is not None)
             )
         out = out.astype(x.dtype).reshape(b, t, d)
-        return nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
+        return QuantDense(d, dtype=self.dtype, quant=self.quant, name="out_proj")(out)
 
 
 class ResidualAttentionBlock(nn.Module):
     num_heads: int
     dtype: Any = jnp.float32
     act: str = "quick_gelu"  # timm-style (SLIP) trunks use exact gelu
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, mask=None):
         d = x.shape[-1]
-        x = x + MultiHeadAttention(self.num_heads, dtype=self.dtype, name="attn")(
-            LayerNorm(name="ln_1")(x), mask
-        )
+        x = x + MultiHeadAttention(
+            self.num_heads, dtype=self.dtype, quant=self.quant, name="attn"
+        )(LayerNorm(name="ln_1")(x), mask)
         h = LayerNorm(name="ln_2")(x)
-        h = nn.Dense(4 * d, dtype=self.dtype, name="mlp_fc")(h)
+        h = QuantDense(4 * d, dtype=self.dtype, quant=self.quant, name="mlp_fc")(h)
         h = quick_gelu(h) if self.act == "quick_gelu" else jax.nn.gelu(h, approximate=False)
-        h = nn.Dense(d, dtype=self.dtype, name="mlp_proj")(h)
+        h = QuantDense(d, dtype=self.dtype, quant=self.quant, name="mlp_proj")(h)
         return x + h
 
 
@@ -191,6 +224,7 @@ class Transformer(nn.Module):
     num_heads: int
     dtype: Any = jnp.float32
     act: str = "quick_gelu"
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -203,7 +237,8 @@ class Transformer(nn.Module):
             block_cls = nn.remat(ResidualAttentionBlock)
         for i in range(self.layers):
             x = block_cls(
-                self.num_heads, dtype=self.dtype, act=self.act, name=f"resblock_{i}"
+                self.num_heads, dtype=self.dtype, act=self.act,
+                quant=self.quant, name=f"resblock_{i}"
             )(x, mask)
         return x
 
@@ -211,6 +246,7 @@ class Transformer(nn.Module):
 class VisionTransformer(nn.Module):
     config: CLIPConfig
     dtype: Any = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, images, in_affine=None, data_format="NHWC"):
@@ -270,7 +306,12 @@ class VisionTransformer(nn.Module):
         else:
             kernel_base = _kernel_rows_cm(patch_kernel, p) if nchw else patch_kernel
             kernel_eff = kernel_base.astype(self.dtype)
-        x = jnp.dot(x, kernel_eff, preferred_element_type=jnp.float32)
+        if self.quant == "int8":
+            from pixray_tpu.ops.quant import int8_matmul
+
+            x = int8_matmul(x, kernel_eff)
+        else:
+            x = jnp.dot(x, kernel_eff, preferred_element_type=jnp.float32)
         if aff_bias is not None:
             x = x + aff_bias[None, None, :]
         x = x.astype(self.dtype)
@@ -289,7 +330,8 @@ class VisionTransformer(nn.Module):
             x = LayerNorm(name="ln_pre")(x)
         x = Transformer(
             cfg.vision_layers, cfg.vision_heads, dtype=self.dtype,
-            act="gelu" if timm_style else "quick_gelu", name="transformer",
+            act="gelu" if timm_style else "quick_gelu", quant=self.quant,
+            name="transformer",
         )(x)
         x = LayerNorm(name="ln_post")(x[:, 0, :])
 
@@ -428,10 +470,15 @@ class CLIP(nn.Module):
 
     config: CLIPConfig
     dtype: Any = jnp.float32
+    # "int8": vision-tower matmuls run the dynamically-quantized int8 forward
+    # (ops/quant.py) with the bf16 straight-through backward; the text tower
+    # (one-shot, host-side at init) always stays at the compute dtype
+    quant: str = "none"
 
     def setup(self):
         if self.config.vision_kind == "vit":
-            self.visual = VisionTransformer(self.config, dtype=self.dtype)
+            self.visual = VisionTransformer(self.config, dtype=self.dtype,
+                                            quant=self.quant)
         else:
             self.visual = ModifiedResNet(self.config, dtype=self.dtype)
         self.text = TextTransformer(self.config, dtype=self.dtype)

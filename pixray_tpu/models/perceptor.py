@@ -142,8 +142,44 @@ class Perceptor:
         self.output_dim = self.config.embed_dim
         self.mean = jnp.asarray(mean, dtype=jnp.float32)
         self.std = jnp.asarray(std, dtype=jnp.float32)
-        self.model = CLIP(self.config, dtype=dtype)
-        self.variables = self._load_variables(name)
+        # PIXRAY_TPU_CLIP_PREC: "bf16" (compute-dtype matmuls, the r1-r4
+        # default) | "int8" (dynamically-quantized vision-tower forward,
+        # bf16 backward — ops/quant.py; guarded by the bench numerics gate)
+        quant = "int8" if (
+            dtype == jnp.bfloat16
+            and os.environ.get("PIXRAY_TPU_CLIP_PREC", "bf16") == "int8"
+        ) else "none"
+        self.model = CLIP(self.config, dtype=dtype, quant=quant)
+        self.variables = self._cast_storage(self._load_variables(name), dtype)
+
+    @staticmethod
+    def _cast_storage(variables, dtype):
+        """Store matmul weights at the compute dtype (PIXRAY_TPU_CLIP_W16=1,
+        the default, when the tower computes in bf16).
+
+        The towers cast every param to the compute dtype at apply time anyway
+        (identical rounding), but the cast runs INSIDE the jitted step where
+        the weights arrive as per-call arguments — pre-casting halves the
+        weight-ref HBM footprint and removes the per-dispatch f32→bf16
+        sweeps XLA does not always hoist out of the blocked-dispatch scan.
+        Normalization affines stay f32: LayerNorm/BatchNorm apply their
+        scale/bias in f32 (model.py LayerNorm), so bf16 storage would change
+        (slightly) the one place params are consumed at full precision.
+        """
+        if dtype != jnp.bfloat16 or os.environ.get("PIXRAY_TPU_CLIP_W16", "1") != "1":
+            return variables
+
+        def cast(path, leaf):
+            names = {getattr(p, "key", "") for p in path}
+            if any(n.startswith(("ln_", "bn", "norm", "downsample_bn")) for n in names):
+                return leaf
+            if leaf.dtype == jnp.float32:
+                return leaf.astype(jnp.bfloat16)
+            return leaf
+
+        out = dict(variables)
+        out["params"] = jax.tree_util.tree_map_with_path(cast, variables["params"])
+        return out
 
     # ------------------------------------------------------------------ loading
     def _load_variables(self, name):

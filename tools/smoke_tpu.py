@@ -41,10 +41,19 @@ GATE_BAND = float(os.environ.get("PIXRAY_TPU_SMOKE_BAND", "0.08"))
 STEPS = int(os.environ.get("PIXRAY_TPU_SMOKE_STEPS", "60"))
 
 # env layers that turn a default run into the exact-arithmetic reference for a
-# given config (the subprocess' kernels bind these at import)
+# given config (the subprocess' kernels bind these at import).  Every
+# precision rung that has a default-on fast path is pinned to its exact
+# setting here — warp matmuls to f32, CLIP matmuls to bf16 compute with f32
+# weight refs and f32 LayerNorm — so the gate measures the full ladder.
+_EXACT_COMMON = {
+    "PIXRAY_TPU_WARP_PREC": "highest",
+    "PIXRAY_TPU_CLIP_PREC": "bf16",
+    "PIXRAY_TPU_CLIP_W16": "0",
+    "PIXRAY_TPU_CLIP_LN32": "1",
+}
 EXACT_ENV = {
-    "pixel": {"PIXRAY_TPU_WARP_PREC": "highest"},
-    "clipdraw": {"PIXRAY_TPU_WARP_PREC": "highest", "PIXRAY_TPU_PALLAS": "0"},
+    "pixel": dict(_EXACT_COMMON),
+    "clipdraw": dict(_EXACT_COMMON, PIXRAY_TPU_PALLAS="0"),
 }
 
 

@@ -1,0 +1,52 @@
+"""bench.py publication-gate contracts (pure host logic, no device).
+
+A regression in a benched config must make bench.py exit nonzero instead of
+publishing a number (VERDICT r4: per-config descent + clipdraw precision
+ladder + mesh smoke).  These pin the gate functions' refusal behavior.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+
+from bench import CONFIG_CHECKS, CONFIGS, check_descent, check_precision_gate
+
+
+def test_all_benched_configs_have_a_check_policy():
+    assert set(CONFIG_CHECKS) == set(CONFIGS)
+
+
+def test_descent_passes_on_falling_loss():
+    losses = list(np.linspace(1.0, 0.5, 30))
+    check_descent("pixel", losses, "descent")  # no raise
+
+
+def test_descent_refuses_flat_loss():
+    with pytest.raises(SystemExit):
+        check_descent("fft", [0.9] * 30, "descent")
+
+
+def test_descent_refuses_nan_even_in_finite_mode():
+    with pytest.raises(SystemExit):
+        check_descent("vdiff", [0.9, float("nan"), 0.8], "finite")
+
+
+def test_finite_mode_allows_non_monotone():
+    check_descent("vdiff", [0.9, 1.1, 0.8, 1.0, 0.7] * 6, "finite")  # no raise
+
+
+def test_precision_gate_passes_within_band():
+    losses = list(np.linspace(1.0, 0.50, 25))
+    ref = {"last5": 0.50}
+    out = check_precision_gate("clipdraw", losses, ref, 25, band=0.08)
+    assert out.startswith("ok")
+
+
+def test_precision_gate_refuses_out_of_band():
+    losses = list(np.linspace(1.0, 0.70, 25))  # converges 0.2 worse
+    ref = {"last5": 0.50}
+    with pytest.raises(SystemExit):
+        check_precision_gate("clipdraw", losses, ref, 25, band=0.08)

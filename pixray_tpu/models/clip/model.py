@@ -142,10 +142,11 @@ class QuantDense(nn.Module):
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features)
         )
-        if self.quant == "int8":
+        if self.quant.startswith("int8"):
             from pixray_tpu.ops.quant import int8_matmul
 
-            y = int8_matmul(x, kernel).astype(self.dtype)
+            bwd = "int8" if self.quant == "int8b" else "bf16"
+            y = int8_matmul(x, kernel, bwd).astype(self.dtype)
         else:
             y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
         if self.use_bias:
@@ -306,10 +307,11 @@ class VisionTransformer(nn.Module):
         else:
             kernel_base = _kernel_rows_cm(patch_kernel, p) if nchw else patch_kernel
             kernel_eff = kernel_base.astype(self.dtype)
-        if self.quant == "int8":
+        if self.quant.startswith("int8"):
             from pixray_tpu.ops.quant import int8_matmul
 
-            x = int8_matmul(x, kernel_eff)
+            x = int8_matmul(x, kernel_eff,
+                            "int8" if self.quant == "int8b" else "bf16")
         else:
             x = jnp.dot(x, kernel_eff, preferred_element_type=jnp.float32)
         if aff_bias is not None:

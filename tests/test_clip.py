@@ -190,7 +190,20 @@ class TestInt8Quant:
         np.testing.assert_allclose(np.asarray(g_int8), expected, rtol=1e-6, atol=1e-6)
         assert np.isfinite(np.asarray(g_int8)).all()
 
-    def test_int8_vision_tower_cosine_and_grad(self):
+    def test_int8_backward_dx_close_to_bf16(self):
+        from pixray_tpu.ops.quant import int8_matmul
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((16, 64)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((64, 32)).astype(np.float32))
+        ct = jnp.asarray(rng.standard_normal((16, 32)).astype(np.float32))
+        g_bf16 = jax.vjp(lambda x: int8_matmul(x, w, "bf16"), x)[1](ct)[0]
+        g_int8 = jax.vjp(lambda x: int8_matmul(x, w, "int8"), x)[1](ct)[0]
+        denom = np.abs(np.asarray(g_bf16)).max()
+        assert np.abs(np.asarray(g_int8) - np.asarray(g_bf16)).max() / denom < 3e-2
+
+    @pytest.mark.parametrize("mode", ["int8", "int8b"])
+    def test_int8_vision_tower_cosine_and_grad(self, mode):
         cfg = tiny_vit_config()
         base = CLIP(cfg, dtype=jnp.float32)
         variables = base.init(
@@ -198,7 +211,7 @@ class TestInt8Quant:
             jnp.zeros((1, cfg.image_resolution, cfg.image_resolution, 3)),
             jnp.zeros((1, cfg.context_length), jnp.int32),
         )
-        quant = CLIP(cfg, dtype=jnp.float32, quant="int8")
+        quant = CLIP(cfg, dtype=jnp.float32, quant=mode)
 
         rng = np.random.default_rng(2)
         img = jnp.asarray(

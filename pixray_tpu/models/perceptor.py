@@ -142,13 +142,13 @@ class Perceptor:
         self.output_dim = self.config.embed_dim
         self.mean = jnp.asarray(mean, dtype=jnp.float32)
         self.std = jnp.asarray(std, dtype=jnp.float32)
-        # PIXRAY_TPU_CLIP_PREC: "int8" (dynamically-quantized vision-tower
-        # forward, bf16 backward — the default since round 5: +5% whole-step
-        # on the flagship, gated by the bench precision ladder) | "bf16"
-        # (compute-dtype matmuls, the r1-r4 default and the EXACT_ENV
-        # reference) | "int8b" (int8 forward AND int8 dx backward) —
-        # ops/quant.py
-        prec = os.environ.get("PIXRAY_TPU_CLIP_PREC", "int8")
+        # PIXRAY_TPU_CLIP_PREC: "int8b" (dynamically-quantized vision-tower
+        # matmuls, int8 forward AND int8 dx backward — the default since
+        # round 5: +9% whole-step on the flagship vs bf16 chip-normalized,
+        # gated by the bench precision ladder) | "int8" (int8 forward,
+        # bf16 dx backward) | "bf16" (compute-dtype matmuls, the r1-r4
+        # default and the EXACT_ENV reference) — ops/quant.py
+        prec = os.environ.get("PIXRAY_TPU_CLIP_PREC", "int8b")
         quant = prec if (
             dtype == jnp.bfloat16 and prec in ("int8", "int8b")
         ) else "none"

@@ -143,10 +143,21 @@ class QuantDense(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features)
         )
         if self.quant.startswith("int8"):
-            from pixray_tpu.ops.quant import int8_matmul
-
             bwd = "int8" if self.quant == "int8b" else "bf16"
-            y = int8_matmul(x, kernel, bwd).astype(self.dtype)
+            if self.has_variable("quant", "kernel_q"):
+                # pre-quantized s8 weight refs (perceptor load-time,
+                # ops/quant.py prequantize_kernel): the step quantizes
+                # activations only — no per-step weight absmax/round, and
+                # the blocked dispatch carries s8 instead of bf16 weights
+                from pixray_tpu.ops.quant import int8_matmul_pre
+
+                wq = self.get_variable("quant", "kernel_q")
+                sw = self.get_variable("quant", "kernel_s")
+                y = int8_matmul_pre(x, wq, sw, bwd).astype(self.dtype)
+            else:
+                from pixray_tpu.ops.quant import int8_matmul
+
+                y = int8_matmul(x, kernel, bwd).astype(self.dtype)
         else:
             y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
         if self.use_bias:

@@ -153,7 +153,43 @@ class Perceptor:
             dtype == jnp.bfloat16 and prec in ("int8", "int8b")
         ) else "none"
         self.model = CLIP(self.config, dtype=dtype, quant=quant)
-        self.variables = self._cast_storage(self._load_variables(name), dtype)
+        loaded = self._load_variables(name)
+        self.variables = self._cast_storage(loaded, dtype)
+        if quant != "none" and os.environ.get("PIXRAY_TPU_CLIP_PREQ", "1") == "1":
+            # pre-quantize the vision tower's dense kernels ONCE (from the f32
+            # originals): the jitted step then consumes s8 weight refs instead
+            # of re-deriving them from bf16 every iteration inside the blocked
+            # dispatch's scan — ~0.5 GB/step of HBM traffic at ViT-B/32 scale
+            # (see ops/quant.py "pre-quantized").  PIXRAY_TPU_CLIP_PREQ=0
+            # restores the dynamic in-step weight quantize (A/B knob).
+            quant_col = self._build_quant_collection(loaded["params"])
+            if quant_col:
+                self.variables = dict(self.variables, quant=quant_col)
+
+    # dense submodules QuantDense serves inside the ViT trunk (model.py)
+    _QUANT_DENSE_NAMES = frozenset({"in_proj", "out_proj", "mlp_fc", "mlp_proj"})
+
+    @classmethod
+    def _build_quant_collection(cls, params):
+        """Mirror of the VISUAL tower's params tree holding pre-quantized
+        (kernel_q s8, kernel_s f32) pairs for every QuantDense kernel — the
+        text tower always runs at the compute dtype (one-shot at init)."""
+        from pixray_tpu.ops.quant import prequantize_kernel
+
+        def walk(tree, parent):
+            out = {}
+            for k, v in tree.items():
+                if hasattr(v, "items"):
+                    sub = walk(v, k)
+                    if sub:
+                        out[k] = sub
+                elif k == "kernel" and parent in cls._QUANT_DENSE_NAMES:
+                    wq, sw = prequantize_kernel(v)
+                    out["kernel_q"], out["kernel_s"] = wq, sw
+            return out
+
+        visual = params.get("visual")
+        return {"visual": walk(visual, "visual")} if visual is not None else {}
 
     @staticmethod
     def _cast_storage(variables, dtype):

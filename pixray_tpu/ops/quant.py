@@ -94,3 +94,78 @@ def _int8_matmul_bwd(bwd, res, g):
 
 
 int8_matmul.defvjp(_int8_matmul_fwd, _int8_matmul_bwd)
+
+
+# --------------------------------------------------------------- pre-quantized
+# The dynamic path re-quantizes the (frozen) weights INSIDE the step — and the
+# blocked dispatch's lax.scan carries them in bf16, so XLA's loop-invariant
+# code motion provably does NOT hoist the weight quantize (the compiled while
+# carry holds bf16[768,3072] etc. and the body re-derives s8 every iteration).
+# At ViT-B/32 scale that is ~0.5 GB/step of avoidable HBM traffic: read bf16 W
+# + write s8 + read s8, twice (forward and dx backward).  Pre-quantizing ONCE
+# at perceptor load (models/perceptor.py) carries the weights as s8 refs and
+# the step only quantizes activations.
+
+
+def prequantize_kernel(w):
+    """Symmetric per-column (output-feature) int8 quantization of a (D, F)
+    kernel; returns ``(wq s8[D,F], sw f32[1,F])`` with ``wq * sw ≈ w``.
+
+    Bitwise-identical scheme to the dynamic path's weight quantize, so
+    swapping paths changes nothing numerically for equal input weights."""
+    w32 = jnp.asarray(w, jnp.float32)
+    sw = jnp.maximum(jnp.max(jnp.abs(w32), axis=0, keepdims=True), 1e-8) / 127.0
+    wq = jnp.round(w32 / sw).astype(jnp.int8)
+    return wq, sw
+
+
+def _int8_dot_pre(x, wq, sw):
+    xq, sx = _quantize_last_axis(x.astype(jnp.float32))
+    acc = jax.lax.dot_general(
+        xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * sx * sw
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def int8_matmul_pre(x, wq, sw, bwd="bf16"):
+    """x (..., D) @ (wq * sw) with pre-quantized weights (prequantize_kernel).
+
+    Forward quantizes activations only.  Backward folds sw into the cotangent
+    so the SAME s8 weight block serves the dx dot:
+    dx[..., d] = Σ_f g[..., f]·sw[f]·wq[d, f] — with ``bwd='int8'`` the folded
+    cotangent is dynamically quantized per row (the int8b rung); wq itself
+    contributes no further quantization error in either mode.  Weights are
+    frozen in the engine (no wq/sw cotangent flows anywhere)."""
+    return _int8_dot_pre(x, wq, sw)
+
+
+def _int8_matmul_pre_fwd(x, wq, sw, bwd):
+    return _int8_dot_pre(x, wq, sw), (jnp.zeros((0,), x.dtype), wq, sw)
+
+
+def _int8_matmul_pre_bwd(bwd, res, g):
+    import numpy as np
+    from jax import dtypes
+
+    xtok, wq, sw = res
+    gs = g.astype(jnp.float32) * sw  # fold per-column weight scales into g
+    if bwd == "int8":
+        gq, sg = _quantize_last_axis(gs)
+        acc = jax.lax.dot_general(
+            gq, wq, (((g.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        dx = (acc.astype(jnp.float32) * sg).astype(xtok.dtype)
+    else:
+        dx = jax.lax.dot_general(
+            gs.astype(jnp.bfloat16), wq.astype(jnp.bfloat16),
+            (((g.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(xtok.dtype)
+    # int8 primals take float0 cotangents; frozen weights — both are dead
+    return dx, np.zeros(wq.shape, dtypes.float0), jnp.zeros_like(sw)
+
+
+int8_matmul_pre.defvjp(_int8_matmul_pre_fwd, _int8_matmul_pre_bwd)

@@ -233,6 +233,66 @@ class TestInt8Quant:
         assert jnp.all(jnp.isfinite(g))
         assert jnp.any(g != 0)
 
+    @pytest.mark.parametrize("bwd", ["bf16", "int8"])
+    def test_prequantized_matches_dynamic(self, bwd):
+        """int8_matmul_pre(prequantize_kernel(w)) == int8_matmul(w) bitwise
+        (forward), and dx within quantization tolerance for both bwd modes."""
+        from pixray_tpu.ops.quant import (
+            int8_matmul,
+            int8_matmul_pre,
+            prequantize_kernel,
+        )
+
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal((16, 64)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((64, 32)).astype(np.float32))
+        ct = jnp.asarray(rng.standard_normal((16, 32)).astype(np.float32))
+        wq, sw = prequantize_kernel(w)
+        assert wq.dtype == jnp.int8 and sw.shape == (1, 32)
+
+        y_dyn, vjp_dyn = jax.vjp(lambda x: int8_matmul(x, w, bwd), x)
+        y_pre, vjp_pre = jax.vjp(lambda x: int8_matmul_pre(x, wq, sw, bwd), x)
+        np.testing.assert_array_equal(np.asarray(y_dyn), np.asarray(y_pre))
+        g_dyn, g_pre = np.asarray(vjp_dyn(ct)[0]), np.asarray(vjp_pre(ct)[0])
+        denom = np.abs(g_dyn).max()
+        # bf16: identical math up to the sw-fold's rounding; int8: the pre
+        # path quantizes g*sw where dynamic quantizes g and W^T separately
+        assert np.abs(g_pre - g_dyn).max() / denom < 3e-2
+
+    def test_prequantized_tower_matches_dynamic_tower(self):
+        """A vision tower fed the perceptor's pre-quantized 'quant' collection
+        encodes bitwise-identically to the dynamic in-step quantize (same f32
+        params), and gradients still flow."""
+        from pixray_tpu.models.perceptor import Perceptor
+
+        cfg = tiny_vit_config()
+        quant = CLIP(cfg, dtype=jnp.float32, quant="int8b")
+        variables = quant.init(
+            jax.random.PRNGKey(3),
+            jnp.zeros((1, cfg.image_resolution, cfg.image_resolution, 3)),
+            jnp.zeros((1, cfg.context_length), jnp.int32),
+        )
+        quant_col = Perceptor._build_quant_collection(variables["params"])
+        assert quant_col, "no QuantDense kernels found in the visual tower"
+        with_pre = dict(variables, quant=quant_col)
+
+        rng = np.random.default_rng(4)
+        img = jnp.asarray(
+            rng.uniform(0, 1, (2, cfg.image_resolution, cfg.image_resolution, 3))
+            .astype(np.float32)
+        )
+        e_dyn = np.asarray(quant.apply(variables, img, method=quant.encode_image))
+        e_pre = np.asarray(quant.apply(with_pre, img, method=quant.encode_image))
+        np.testing.assert_array_equal(e_dyn, e_pre)
+
+        g = jax.grad(
+            lambda im: jnp.sum(
+                quant.apply(with_pre, im, method=quant.encode_image) ** 2
+            )
+        )(img)
+        assert jnp.all(jnp.isfinite(g))
+        assert jnp.any(g != 0)
+
     def test_quant_off_is_default_dense(self):
         """quant='none' reproduces the nn.Dense path bitwise (same params)."""
         cfg = tiny_vit_config()

@@ -302,7 +302,17 @@ class VisionTransformer(nn.Module):
             nn.initializers.lecun_normal(),
             (p * p * 3, width),
         )
+        quant_on = self.quant.startswith("int8")
+        bwd = "int8" if self.quant == "int8b" else "bf16"
+        patch_q_name = "patch_q_cm" if nchw else "patch_q"
+        # pre-quantized patch kernel (perceptor load-time): the affine fold
+        # moves to the ACTIVATION side — x @ (s·W) == (x*s) @ W exactly, and
+        # the per-row dynamic activation quantize absorbs the multiply — so
+        # the s8 kernel stays step-invariant even though the affine's scale
+        # is a per-call value (the batch min/max range stretch)
+        use_pre = quant_on and self.has_variable("quant", patch_q_name)
         aff_bias = None
+        scale_rows = None
         if in_affine is not None:
             scale, shift = in_affine
             # the (p, p, 3) patch flattens channel-fastest: tile the 3-vectors
@@ -312,19 +322,27 @@ class VisionTransformer(nn.Module):
             else:
                 scale_rows = jnp.tile(scale.astype(jnp.float32), p * p)  # (p*p*3,)
             shift_rows = jnp.tile(shift.astype(jnp.float32), p * p)
-            kernel_base = _kernel_rows_cm(patch_kernel, p) if nchw else patch_kernel
-            kernel_eff = (kernel_base * scale_rows[:, None]).astype(self.dtype)
             aff_bias = jnp.dot(shift_rows, patch_kernel)  # (width,) f32
+        if use_pre:
+            from pixray_tpu.ops.quant import int8_matmul_pre
+
+            if scale_rows is not None:
+                x = x * scale_rows.astype(jnp.float32)
+            wq = self.get_variable("quant", patch_q_name)
+            sw = self.get_variable("quant", "patch_s_cm" if nchw else "patch_s")
+            x = int8_matmul_pre(x, wq, sw, bwd)
         else:
             kernel_base = _kernel_rows_cm(patch_kernel, p) if nchw else patch_kernel
-            kernel_eff = kernel_base.astype(self.dtype)
-        if self.quant.startswith("int8"):
-            from pixray_tpu.ops.quant import int8_matmul
+            if scale_rows is not None:
+                kernel_eff = (kernel_base * scale_rows[:, None]).astype(self.dtype)
+            else:
+                kernel_eff = kernel_base.astype(self.dtype)
+            if quant_on:
+                from pixray_tpu.ops.quant import int8_matmul
 
-            x = int8_matmul(x, kernel_eff,
-                            "int8" if self.quant == "int8b" else "bf16")
-        else:
-            x = jnp.dot(x, kernel_eff, preferred_element_type=jnp.float32)
+                x = int8_matmul(x, kernel_eff, bwd)
+            else:
+                x = jnp.dot(x, kernel_eff, preferred_element_type=jnp.float32)
         if aff_bias is not None:
             x = x + aff_bias[None, None, :]
         x = x.astype(self.dtype)

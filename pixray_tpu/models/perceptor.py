@@ -124,6 +124,43 @@ def _find_checkpoint(name: str):
     return None
 
 
+# dense submodules QuantDense serves inside the ViT trunk (model.py)
+_QUANT_DENSE_NAMES = frozenset({"in_proj", "out_proj", "mlp_fc", "mlp_proj"})
+
+
+def build_quant_collection(params, patch_size=None):
+    """Mirror of the VISUAL tower's params tree holding pre-quantized
+    (kernel_q s8, kernel_s f32) pairs for every QuantDense kernel — the
+    text tower always runs at the compute dtype (one-shot at init).
+
+    The patch-embedding kernel is pre-quantized in BOTH row orders
+    (channels-fastest + channel-major) since the data_format is a call-time
+    choice; the preprocessing affine no longer blocks this — it folds into
+    the activations instead (model.py VisionTransformer)."""
+    from pixray_tpu.models.clip.model import _kernel_rows_cm
+    from pixray_tpu.ops.quant import prequantize_kernel
+
+    def walk(tree, parent):
+        out = {}
+        for k, v in tree.items():
+            if hasattr(v, "items"):
+                sub = walk(v, k)
+                if sub:
+                    out[k] = sub
+            elif k == "kernel" and parent in _QUANT_DENSE_NAMES:
+                wq, sw = prequantize_kernel(v)
+                out["kernel_q"], out["kernel_s"] = wq, sw
+            elif k == "patch_embedding" and parent == "visual" and patch_size:
+                out["patch_q"], out["patch_s"] = prequantize_kernel(v)
+                out["patch_q_cm"], out["patch_s_cm"] = prequantize_kernel(
+                    _kernel_rows_cm(v, patch_size)
+                )
+        return out
+
+    visual = params.get("visual")
+    return {"visual": walk(visual, "visual")} if visual is not None else {}
+
+
 class Perceptor:
     """A frozen scoring model with a pure jit-safe image-embedding function."""
 
@@ -166,30 +203,8 @@ class Perceptor:
             if quant_col:
                 self.variables = dict(self.variables, quant=quant_col)
 
-    # dense submodules QuantDense serves inside the ViT trunk (model.py)
-    _QUANT_DENSE_NAMES = frozenset({"in_proj", "out_proj", "mlp_fc", "mlp_proj"})
-
-    @classmethod
-    def _build_quant_collection(cls, params):
-        """Mirror of the VISUAL tower's params tree holding pre-quantized
-        (kernel_q s8, kernel_s f32) pairs for every QuantDense kernel — the
-        text tower always runs at the compute dtype (one-shot at init)."""
-        from pixray_tpu.ops.quant import prequantize_kernel
-
-        def walk(tree, parent):
-            out = {}
-            for k, v in tree.items():
-                if hasattr(v, "items"):
-                    sub = walk(v, k)
-                    if sub:
-                        out[k] = sub
-                elif k == "kernel" and parent in cls._QUANT_DENSE_NAMES:
-                    wq, sw = prequantize_kernel(v)
-                    out["kernel_q"], out["kernel_s"] = wq, sw
-            return out
-
-        visual = params.get("visual")
-        return {"visual": walk(visual, "visual")} if visual is not None else {}
+    def _build_quant_collection(self, params):
+        return build_quant_collection(params, self.config.vision_patch_size)
 
     @staticmethod
     def _cast_storage(variables, dtype):

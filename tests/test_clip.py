@@ -263,7 +263,7 @@ class TestInt8Quant:
         """A vision tower fed the perceptor's pre-quantized 'quant' collection
         encodes bitwise-identically to the dynamic in-step quantize (same f32
         params), and gradients still flow."""
-        from pixray_tpu.models.perceptor import Perceptor
+        from pixray_tpu.models.perceptor import build_quant_collection
 
         cfg = tiny_vit_config()
         quant = CLIP(cfg, dtype=jnp.float32, quant="int8b")
@@ -272,7 +272,7 @@ class TestInt8Quant:
             jnp.zeros((1, cfg.image_resolution, cfg.image_resolution, 3)),
             jnp.zeros((1, cfg.context_length), jnp.int32),
         )
-        quant_col = Perceptor._build_quant_collection(variables["params"])
+        quant_col = build_quant_collection(variables["params"])
         assert quant_col, "no QuantDense kernels found in the visual tower"
         with_pre = dict(variables, quant=quant_col)
 
@@ -292,6 +292,46 @@ class TestInt8Quant:
         )(img)
         assert jnp.all(jnp.isfinite(g))
         assert jnp.any(g != 0)
+
+    @pytest.mark.parametrize("data_format", ["NHWC", "NCHW"])
+    def test_prequantized_patch_affine_matches_dynamic(self, data_format):
+        """With the preprocessing affine active, the pre-quantized patch
+        kernel folds the scale into the ACTIVATIONS ((x*s)@W == x@(s·W)) —
+        embeddings must match the dynamic kernel-side fold to within
+        quantization tolerance, in both layouts."""
+        from pixray_tpu.models.perceptor import build_quant_collection
+
+        cfg = tiny_vit_config()
+        quant = CLIP(cfg, dtype=jnp.float32, quant="int8b")
+        variables = quant.init(
+            jax.random.PRNGKey(6),
+            jnp.zeros((1, cfg.image_resolution, cfg.image_resolution, 3)),
+            jnp.zeros((1, cfg.context_length), jnp.int32),
+        )
+        quant_col = build_quant_collection(
+            variables["params"], cfg.vision_patch_size
+        )
+        assert "patch_q" in quant_col["visual"] and "patch_q_cm" in quant_col["visual"]
+        with_pre = dict(variables, quant=quant_col)
+
+        rng = np.random.default_rng(7)
+        r = cfg.image_resolution
+        img = jnp.asarray(rng.uniform(0, 1, (2, r, r, 3)).astype(np.float32))
+        if data_format == "NCHW":
+            img = img.transpose(0, 3, 1, 2)
+        aff = (jnp.asarray([2.0, 1.5, 1.8]), jnp.asarray([-0.4, 0.1, -0.2]))
+
+        e_dyn = np.asarray(quant.apply(
+            variables, img, aff, data_format, method=quant.encode_image))
+        e_pre = np.asarray(quant.apply(
+            with_pre, img, aff, data_format, method=quant.encode_image))
+        cos = (e_dyn * e_pre).sum(-1) / (
+            np.linalg.norm(e_dyn, axis=-1) * np.linalg.norm(e_pre, axis=-1))
+        assert np.all(cos > 0.999)
+
+        g = jax.grad(lambda im: jnp.sum(quant.apply(
+            with_pre, im, aff, data_format, method=quant.encode_image) ** 2))(img)
+        assert jnp.all(jnp.isfinite(g)) and jnp.any(g != 0)
 
     def test_quant_off_is_default_dense(self):
         """quant='none' reproduces the nn.Dense path bitwise (same params)."""

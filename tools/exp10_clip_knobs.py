@@ -16,13 +16,13 @@ import sys
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 OVERLAYS = [
-    ("baseline", {}),
-    ("clip=int8", {"PIXRAY_TPU_CLIP_PREC": "int8"}),
+    ("baseline (int8b+preq)", {}),
     ("attn=einsum", {"PIXRAY_TPU_CLIP_ATTN": "einsum"}),
     ("ln=bf16", {"PIXRAY_TPU_CLIP_LN32": "0"}),
-    ("w16=0 (f32 weight refs)", {"PIXRAY_TPU_CLIP_W16": "0"}),
-    ("int8 + ln=bf16", {"PIXRAY_TPU_CLIP_PREC": "int8",
-                        "PIXRAY_TPU_CLIP_LN32": "0"}),
+    ("ln=bf16 + attn=einsum", {"PIXRAY_TPU_CLIP_LN32": "0",
+                               "PIXRAY_TPU_CLIP_ATTN": "einsum"}),
+    ("remat", {"PIXRAY_TPU_CLIP_REMAT": "1"}),
+    ("baseline again (drift)", {}),
 ]
 
 

@@ -100,11 +100,16 @@ def _kernel_rows_cm(kernel, p):
 
 
 class LayerNorm(nn.Module):
-    """fp32 LayerNorm returning the input dtype.
+    """LayerNorm in the input dtype, returning the input dtype.
 
-    PIXRAY_TPU_CLIP_LN32=0 keeps the normalization in the input dtype (perf
-    experiment knob; default fp32 matches the torch reference's stability
-    behavior)."""
+    Default bf16-native: the tower's matmuls already run the int8 rung, whose
+    quantization error (~1e-2 relative) dominates bf16 normalization error
+    (~4e-3) by an order — f32 LN buys no accuracy the ladder gate can see but
+    costs ~3% of the step in f32 materialization between the fused matmuls
+    (A/B: 57.6/58.9 steps/s bf16-LN on *more throttled* chips vs 57.0/56.4
+    f32-LN; tools/exp18 ladder gap unchanged).  PIXRAY_TPU_CLIP_LN32=1
+    restores the torch reference's fp32-stats behavior
+    (/root/reference notation: CLIP LayerNorm subclass casting to fp32)."""
 
     epsilon: float = 1e-5
 
@@ -113,7 +118,7 @@ class LayerNorm(nn.Module):
         import os
 
         orig_dtype = x.dtype
-        if os.environ.get("PIXRAY_TPU_CLIP_LN32", "1") != "0":
+        if os.environ.get("PIXRAY_TPU_CLIP_LN32", "0") != "0":
             x = x.astype(jnp.float32)
         mean = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.var(x, axis=-1, keepdims=True)

@@ -304,6 +304,17 @@ def _norm_prec(prec):
     return "bf16" if prec == "int8" else prec
 
 
+# Opt-in int8 rung for the transposed-banded BACKWARD (the default bwd path):
+# same per-tensor symmetric-quantization argument as the CLIP tower's int8 dx
+# (models/perceptor.py PIXRAY_TPU_CLIP_PREC=int8b) — the cotangent is
+# pre-scaled to unit max outside the kernel, the banded hat-with-cotangent
+# product ag = ab*g and the x-hat b both live in [-1,1] so a fixed 127 scale
+# quantizes them in-kernel with no reductions; the s_g/127^2 dequant applies
+# once outside (the contraction is linear).  Guarded by the bench precision
+# ladder like every other rung.  "bf16" restores the round-4 backward.
+WARP_BWD_PREC = os.environ.get("PIXRAY_TPU_WARP_BWD_PREC", "bf16")
+
+
 def _run_fwd(work, inv_matrices, out_size, padding_mode, interpret, k_tile, prec, band):
     prec = _norm_prec(prec)
     n = inv_matrices.shape[0]
@@ -698,10 +709,42 @@ def _bwd_kernel_multi_TB(inv_ref, g_ref, dwork_ref, *, k_tile, out_size,
     u_col = jax.lax.broadcasted_iota(jnp.int32, (h, k_tile), 0).astype(jnp.float32)
     v_col = jax.lax.broadcasted_iota(jnp.int32, (w, k_tile), 0).astype(jnp.float32)
     ub0 = jax.lax.broadcasted_iota(jnp.int32, (band, k_tile), 0).astype(jnp.float32)
+    dn_nt = (((1,), (1,)), ((), ()))
     for s in range(n_chunk):
         sx, sy = _chunk_coords(inv_ref, s, kt, k_tile, out_size, h, w, row=True)
         b_t = jnp.maximum(0.0, 1.0 - jnp.abs(sx - v_col))  # (W, T)
         ok, base = _chunk_band_plan(inv_ref, s, kt, k_tile, out_size, h, band)
+
+        if prec == "int8":
+            # int8 MXU backward: g arrives pre-scaled to [-1, 1]
+            # (_run_bwd_multi_TB divides by s_g and re-applies s_g/127^2 to
+            # the summed dwork outside), so ag = ab*g and the x-hat both
+            # quantize at the fixed 127 scale with no in-kernel reductions.
+            # Folding g into the BANDED hat (B x T) instead of the x-hat
+            # (W x T) keeps the per-channel quantize 6x smaller; b_q is
+            # shared across channels.
+            b_q = jnp.round(b_t * 127.0).astype(jnp.int8)
+
+            @pl.when(ok)
+            def _banded_q(s=s, sy=sy, b_q=b_q, base=base):
+                ab = jnp.maximum(0.0, 1.0 - jnp.abs(sy - (base.astype(jnp.float32) + ub0)))
+                for c in range(channels):
+                    ag = ab * g_ref[s, c, :].reshape(1, k_tile)  # (B, T)
+                    ag_q = jnp.round(ag * 127.0).astype(jnp.int8)
+                    acc = jax.lax.dot_general(ag_q, b_q, dn_nt,
+                                              preferred_element_type=jnp.int32)
+                    dwork_ref[c, pl.ds(base, band), :] += acc.astype(jnp.float32)
+
+            @pl.when(jnp.logical_not(ok))
+            def _full_q(s=s, sy=sy, b_q=b_q):
+                a_t = jnp.maximum(0.0, 1.0 - jnp.abs(sy - u_col))  # (H, T)
+                for c in range(channels):
+                    ag = a_t * g_ref[s, c, :].reshape(1, k_tile)
+                    ag_q = jnp.round(ag * 127.0).astype(jnp.int8)
+                    acc = jax.lax.dot_general(ag_q, b_q, dn_nt,
+                                              preferred_element_type=jnp.int32)
+                    dwork_ref[c] += acc.astype(jnp.float32)
+            continue
 
         @pl.when(ok)
         def _banded(s=s, sy=sy, b_t=b_t, base=base):
@@ -730,6 +773,15 @@ def _run_bwd_multi_TB(g, inv, modes, work_shape, out_size, interpret, k_tile,
     pad_k = k_tiles * k_tile - k
     if pad_k or pad_n:
         g_flat = jnp.pad(g_flat, ((0, pad_n), (0, 0), (0, pad_k)))
+    post_scale = None
+    if prec == "int8":
+        # per-tensor symmetric cotangent scale (the int8-dx recipe): the
+        # kernel sees g/s_g in [-1, 1] and accumulates raw 127^2-scaled
+        # products; the contraction is linear so one dequant applies at the
+        # end outside the kernel.
+        s_g = jnp.maximum(jnp.max(jnp.abs(g_flat)).astype(jnp.float32), 1e-20)
+        g_flat = g_flat.astype(jnp.float32) / s_g
+        post_scale = s_g / (127.0 * 127.0)
     inv, modes = _pad_bank(inv, modes, n_blocks, n_chunk)
     aug = _augment_inv(inv, modes)
     kernel = functools.partial(
@@ -748,6 +800,8 @@ def _run_bwd_multi_TB(g, inv, modes, work_shape, out_size, interpret, k_tile,
         interpret=interpret,
         compiler_params=_compiler_params(),
     )(aug, g_flat)
+    if post_scale is not None:
+        dwork = dwork * post_scale
     return dwork.transpose(1, 2, 0)
 
 
@@ -959,10 +1013,16 @@ WARP_BWD_BAND = int(os.environ.get("PIXRAY_TPU_WARP_BWD_BAND", "64"))
 
 def _run_bwd_multi(g, inv, modes, work_shape, out_size, interpret, k_tile, prec,
                    n_chunk, band, out_layout):
+    fwd_prec = prec
     prec = _norm_prec(prec)
     if os.environ.get("PIXRAY_TPU_WARP_BWDT", "1") != "0":
         band_eff = _band_for(work_shape[0], band or WARP_BWD_BAND)
         if band_eff:
+            # the int8 backward rung exists only on this (default) kernel and
+            # only when the forward already runs int8 — the quantization-error
+            # budget is argued jointly (see WARP_BWD_PREC).
+            if fwd_prec == "int8" and WARP_BWD_PREC == "int8":
+                prec = "int8"
             return _run_bwd_multi_TB(g, inv, modes, work_shape, out_size,
                                      interpret, k_tile, prec, n_chunk, band_eff,
                                      out_layout)

@@ -223,3 +223,47 @@ def test_multi_band_matches_unbanded():
         return np.asarray(jax.grad(f)(work))
 
     np.testing.assert_allclose(grad_of(64), grad_of(0), atol=1e-3, rtol=1e-2)
+
+
+@pytest.mark.slow
+def test_int8_backward_rung(monkeypatch):
+    """The opt-in int8 banded backward (PIXRAY_TPU_WARP_BWD_PREC=int8) stays
+    within the same error envelope as the accepted bf16 backward: both are
+    dominated by the int8 FORWARD's quantization of the loss surface, so the
+    dx rung must add (near) nothing on top."""
+    import pixray_tpu.ops.pallas_warp as PW
+    from pixray_tpu.ops import warp as W
+    from pixray_tpu.ops.pallas_warp import pallas_warp_batch_modes
+
+    rng = np.random.default_rng(21)
+    work = jnp.asarray(rng.random((224, 398, 3)), jnp.float32)
+    m_crop = W.random_resized_crop(jax.random.PRNGKey(5), 224, 398, 224)
+    m_persp = W.mm3(W.random_perspective(jax.random.PRNGKey(6), 224, 398, 0.3), m_crop)
+    ms = jnp.stack([m_crop, m_persp])
+    modes = jnp.asarray([0, 1], jnp.int32)
+    g_out = jnp.asarray(np.random.default_rng(22).random((2, 224, 224, 3)), jnp.float32)
+    kw = dict(interpret=True, k_tile=4096, n_chunk=4, band=64)
+
+    def grad_of(prec):
+        def f(wk):
+            return jnp.sum(
+                pallas_warp_batch_modes(wk, ms, modes, 224, precision=prec, **kw) * g_out
+            )
+        return np.asarray(jax.grad(f)(work))
+
+    g_exact = grad_of("highest")
+    g_bf16bwd = grad_of("int8")  # int8 fwd, bf16 bwd (the r4 default)
+    monkeypatch.setattr(PW, "WARP_BWD_PREC", "int8")
+    g_int8bwd = grad_of("int8")  # int8 fwd AND int8 dx bwd
+
+    scale = np.abs(g_exact).max() + 1e-12
+    err_bf16 = np.abs(g_bf16bwd - g_exact).max() / scale
+    err_int8 = np.abs(g_int8bwd - g_exact).max() / scale
+    # the dx rung may add at most ~1.5e-2 of max-grad on top of the fwd error
+    assert err_int8 < err_bf16 + 1.5e-2, (err_int8, err_bf16)
+    # and the int8-bwd gradient must still correlate with the exact one
+    cos = float(
+        (g_int8bwd * g_exact).sum()
+        / (np.linalg.norm(g_int8bwd) * np.linalg.norm(g_exact) + 1e-12)
+    )
+    assert cos > 0.995, cos

@@ -14,7 +14,13 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu (not setdefault): the execution environment exports
+# JAX_PLATFORMS=axon, and a pytest run inheriting it creates a second client
+# on the single-TPU relay — which wedges BOTH the tests and any concurrent
+# bench/engine process on the tunnel (observed round 5; see BUGS.md).  Tests
+# are CPU-by-design; opt into another platform explicitly via
+# PIXRAY_TPU_TEST_PLATFORM.
+os.environ["JAX_PLATFORMS"] = os.environ.get("PIXRAY_TPU_TEST_PLATFORM", "cpu")
 os.environ.setdefault("PIXRAY_TPU_NO_DOWNLOAD", "1")  # tests never fetch assets
 
 import jax  # noqa: E402

@@ -25,6 +25,15 @@ os.environ.setdefault("PIXRAY_TPU_NO_DOWNLOAD", "1")  # tests never fetch assets
 
 import jax  # noqa: E402
 
+# The env var alone is NOT enough: the environment's sitecustomize may have
+# already called jax.config.update("jax_platforms", "axon,cpu") at interpreter
+# startup, which outranks JAX_PLATFORMS.  With that setting, even
+# jax.devices("cpu") first initializes the axon backend — a second client on
+# the single-TPU relay, which wedges both this process and any concurrent
+# engine/bench process on the tunnel (observed round 5, see BUGS.md).  A later
+# config.update wins, and at conftest time no backend is initialized yet.
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 try:
     _cpu_devices = jax.devices("cpu")  # creates the CPU client under XLA_FLAGS
     jax.config.update("jax_default_device", _cpu_devices[0])

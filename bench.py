@@ -234,6 +234,34 @@ def run_reference_trajectory(config="pixel", steps=None):
     return json.loads(out.strip().splitlines()[-1])
 
 
+def probe_device(timeout_s):
+    """Bounded fail-loud device probe (subprocess, pre-TPU-client).
+
+    The tunneled single-TPU relay can die or stay claim-wedged (BUGS.md round-5
+    hazard); a bare jax.devices() then blocks FOREVER, which would hang this
+    whole script rather than fail it.  Probing in a subprocess with a hard
+    timeout converts that into a nonzero exit with a diagnosis.  The subprocess
+    exits immediately after, so no second client lingers on the relay."""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d=jax.devices(); print('probe ok:', d)"],
+            env=dict(os.environ), capture_output=True, text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            f"DEVICE PROBE FAILED: jax.devices() did not return within "
+            f"{timeout_s}s — the TPU relay is unreachable or claim-wedged "
+            "(see BUGS.md round-5 hazard). Refusing to start a bench that "
+            "would hang forever.", file=sys.stderr)
+        raise SystemExit(1)
+    if out.returncode != 0:
+        print("DEVICE PROBE FAILED: jax.devices() crashed:", file=sys.stderr)
+        print((out.stdout + out.stderr)[-2000:], file=sys.stderr)
+        raise SystemExit(1)
+
+
 def run_mesh_smoke():
     """The on-TPU sharded-path smoke + parity (subprocess, pre-TPU-client)."""
     here = os.path.dirname(os.path.abspath(__file__))
@@ -293,6 +321,9 @@ def main():
     band = float(os.environ.get("PIXRAY_TPU_SMOKE_BAND", "0.08"))
     clipdraw_steps = 9 + 2 * 8  # clipdraw bench warmup+windows cover these
     clipdraw_band = float(os.environ.get("PIXRAY_TPU_SMOKE_BAND_CLIPDRAW", "0.08"))
+
+    note("bounded device probe...")
+    probe_device(int(os.environ.get("PIXRAY_TPU_DEVICE_PROBE_TIMEOUT_S", "900")))
 
     ref = clipdraw_ref = None
     mesh_smoke = "skipped"

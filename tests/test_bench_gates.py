@@ -50,3 +50,41 @@ def test_precision_gate_refuses_out_of_band():
     ref = {"last5": 0.50}
     with pytest.raises(SystemExit):
         check_precision_gate("clipdraw", losses, ref, 25, band=0.08)
+
+
+def test_device_probe_ok_on_reachable_backend(monkeypatch):
+    """Happy path: a backend that answers promptly passes the probe.  The
+    subprocess must not inherit the accelerator-plugin trigger — with the
+    relay wedged it would dial it and burn the whole timeout (BUGS.md)."""
+    from bench import probe_device
+
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    probe_device(timeout_s=120)  # raises SystemExit on failure
+
+
+def test_device_probe_refuses_on_timeout(monkeypatch):
+    """A relay that never answers must turn into a nonzero exit, not a hang."""
+    import subprocess as sp
+
+    import bench
+
+    def fake_run(*a, **k):
+        raise sp.TimeoutExpired(cmd="probe", timeout=k.get("timeout", 0))
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    with pytest.raises(SystemExit):
+        bench.probe_device(timeout_s=1)
+
+
+def test_device_probe_refuses_on_crash(monkeypatch):
+    import bench
+
+    class R:
+        returncode = 3
+        stdout = ""
+        stderr = "boom"
+
+    monkeypatch.setattr(bench.subprocess, "run", lambda *a, **k: R())
+    with pytest.raises(SystemExit):
+        bench.probe_device(timeout_s=1)
